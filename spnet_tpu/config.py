@@ -1,0 +1,239 @@
+"""Explicit, serializable configuration for spnet_tpu.
+
+Replaces the reference's module-global configuration and hidden mutable
+normalization state (`/root/reference/spnet/config.py`,
+`/root/reference/spnet/utils.py:140-176`) with frozen dataclasses.  The
+`GridSpec` in particular owns the YOLO predictor-grid geometry *and* the
+normalization means/ranges, so that evaluate/predict can never silently
+denormalize with the wrong statistics (a latent hazard in the reference:
+`predict_spnet.py:91-93` reconstructs them from a hardcoded shape).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from functools import cached_property
+from typing import Any
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Output-vector layout.
+#
+# Each predictor slot emits 8 variables, laid out exactly as the reference
+# (`/root/reference/spnet/config.py:30-38`):
+#   [cx, cy, a, b, cos(2*theta), sin(2*theta), noobj, rings]
+# `noobj` is an anti-existence flag (0 = object present), `rings` is a float
+# ring-count regression target.
+# ---------------------------------------------------------------------------
+VARS_PER_PRED = 8
+IND_CX = 0
+IND_CY = 1
+IND_A = 2
+IND_B = 3
+IND_ANGLE1 = 4  # cos(2*theta)
+IND_ANGLE2 = 5  # sin(2*theta)
+IND_NOOBJ = 6
+IND_RINGS = 7
+
+#: Native resolution of ESPI frames (width, height), as produced by the data
+#: generator and assumed by the metric rasterizer
+#: (`/root/reference/gen_fake_espi.py:31-32`, `spnet/utils.py:140`).
+ORIG_IMG_WIDTH = 512
+ORIG_IMG_HEIGHT = 384
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Geometry + normalization statistics of the YOLO predictor grid.
+
+    Mirrors the behavior of `setup_means_and_ranges`
+    (`/root/reference/spnet/utils.py:144-176`): a `nx` x `ny` grid of cells
+    covering the active region [cx_min, cx_max] x [cy_min, cy_max], with
+    `preds_per_cell` predictor slots per cell.  Empty slots take per-cell
+    default values; normalization is (Y - means) / ranges with per-slot
+    means/ranges derived from the cell geometry.
+    """
+
+    nx: int = 6
+    ny: int = 6
+    preds_per_cell: int = 2
+    cx_min: float = 40.0
+    cy_min: float = 40.0
+    cx_max: float = 470.0
+    cy_max: float = 350.0
+    img_width: int = ORIG_IMG_WIDTH
+    img_height: int = ORIG_IMG_HEIGHT
+
+    # ----- derived geometry ------------------------------------------------
+    @property
+    def xbinsize(self) -> int:
+        # int() truncation matches the reference (`utils.py:153`).
+        return int((self.cx_max - self.cx_min) / self.nx)
+
+    @property
+    def ybinsize(self) -> int:
+        return int((self.cy_max - self.cy_min) / self.ny)
+
+    @property
+    def pred_shape(self) -> tuple[int, int, int, int]:
+        return (self.nx, self.ny, self.preds_per_cell, VARS_PER_PRED)
+
+    @property
+    def num_outputs(self) -> int:
+        return self.nx * self.ny * self.preds_per_cell * VARS_PER_PRED
+
+    # ----- per-slot statistics --------------------------------------------
+    def _grid_centers(self) -> tuple[np.ndarray, np.ndarray]:
+        """Cell-center coordinates, shape (nx, ny) each."""
+        i = np.arange(self.nx, dtype=np.float32)
+        j = np.arange(self.ny, dtype=np.float32)
+        gx = i * self.xbinsize + self.cx_min + self.xbinsize / 2.0
+        gy = j * self.ybinsize + self.cy_min + self.ybinsize / 2.0
+        return np.meshgrid(gx, gy, indexing="ij")
+
+    @cached_property
+    def defaults(self) -> np.ndarray:
+        """Default values for empty predictor slots, shape pred_shape.
+
+        Per reference `utils.py:165`: [cx_cell, cy_cell, xbin/2, ybin/2,
+        cos2t=-1 (i.e. 90 deg), sin2t=0, noobj=1, rings=0].
+        """
+        gcx, gcy = self._grid_centers()
+        d = np.zeros(self.pred_shape, dtype=np.float32)
+        d[..., IND_CX] = gcx[:, :, None]
+        d[..., IND_CY] = gcy[:, :, None]
+        d[..., IND_A] = self.xbinsize / 2.0
+        d[..., IND_B] = self.ybinsize / 2.0
+        d[..., IND_ANGLE1] = -1.0
+        d[..., IND_ANGLE2] = 0.0
+        d[..., IND_NOOBJ] = 1.0
+        d[..., IND_RINGS] = 0.0
+        return d
+
+    @cached_property
+    def means(self) -> np.ndarray:
+        """Normalization offsets, flattened to (num_outputs,).
+
+        Per reference `utils.py:166`: noobj mean kept at 0 (not 0.5) so the
+        normalized value stays in [0, 1] and retains its probabilistic
+        interpretation.
+        """
+        gcx, gcy = self._grid_centers()
+        m = np.zeros(self.pred_shape, dtype=np.float32)
+        m[..., IND_CX] = gcx[:, :, None]
+        m[..., IND_CY] = gcy[:, :, None]
+        m[..., IND_A] = self.xbinsize / 2.0
+        m[..., IND_B] = self.ybinsize / 2.0
+        m[..., IND_ANGLE1] = 0.0
+        m[..., IND_ANGLE2] = 0.0
+        m[..., IND_NOOBJ] = 0.0
+        m[..., IND_RINGS] = 5.0
+        return m.reshape(-1)
+
+    @cached_property
+    def ranges(self) -> np.ndarray:
+        """Normalization scales, flattened to (num_outputs,)
+        (reference `utils.py:169`)."""
+        r = np.zeros(self.pred_shape, dtype=np.float32)
+        r[..., IND_CX] = self.xbinsize
+        r[..., IND_CY] = self.ybinsize
+        r[..., IND_A] = self.xbinsize
+        r[..., IND_B] = self.ybinsize
+        r[..., IND_ANGLE1] = 2.0
+        r[..., IND_ANGLE2] = 2.0
+        r[..., IND_NOOBJ] = 1.0
+        r[..., IND_RINGS] = 10.0
+        return r.reshape(-1)
+
+    # ----- (de)serialization ----------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "GridSpec":
+        return cls(**json.loads(s))
+
+
+@dataclasses.dataclass(frozen=True)
+class LossWeights:
+    """Multi-task loss weights (reference `spnet/models.py:557-561`)."""
+
+    center: float = 2.0
+    size: float = 1.0
+    angle: float = 3.0
+    noobj: float = 0.3
+    rings: float = 5.0  # "class" weight in the reference
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Model architecture selection.
+
+    backbone: 'Xception' | 'MobileNet' | 'InceptionResNetV2'
+        (reference `spnet/config.py:50-52`).
+    loss_type: 'same' (MSE existence term) or 'hybrid'
+        (BCE-with-logits existence term)  (reference `spnet/config.py:40`).
+    """
+
+    backbone: str = "Xception"
+    input_size: int = 331
+    grayscale: bool = True
+    loss_type: str = "same"
+    dropout_rate: float = 0.1
+    stem_filters: int = 3
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    l2_reg: float = 1e-4  # reference `models.py:47`
+    selective_sigmoid: bool = False  # reference model_type 'ss'
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Run parameters (reference `train_spnet.py:96-112` argparse surface)."""
+
+    batch_size: int = 16
+    epochs: int = 100
+    lr_max: float = 4e-5
+    adam_lr: float = 1e-5  # used only if one-cycle disabled
+    freeze_fac: float = 0.0
+    frozen_epochs: int = 0
+    fraction: float = 1.0
+    seed: int = 1
+    augment: bool = True
+    save_every: int = 5  # epochs between checkpoints (`callbacks.py:37`)
+    # 1-cycle shape parameters (reference `callbacks.py:366`)
+    onecycle_pct_start: float = 0.3
+    onecycle_div_factor: float = 25.0
+    onecycle_final_div: float = 1e4
+
+
+def _to_jsonable(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return {k: _to_jsonable(v) for k, v in dataclasses.asdict(obj).items()}
+    return obj
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    """Top-level bundle saved alongside checkpoints so that eval/predict
+    always reconstruct identical normalization + architecture."""
+
+    grid: GridSpec = dataclasses.field(default_factory=GridSpec)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    loss_weights: LossWeights = dataclasses.field(default_factory=LossWeights)
+
+    def to_json(self) -> str:
+        return json.dumps(_to_jsonable(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExperimentConfig":
+        d = json.loads(s)
+        return cls(
+            grid=GridSpec(**d["grid"]),
+            model=ModelConfig(**d["model"]),
+            train=TrainConfig(**d["train"]),
+            loss_weights=LossWeights(**d["loss_weights"]),
+        )

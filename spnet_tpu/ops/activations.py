@@ -50,8 +50,8 @@ def selective_sigmoid_pallas(x):
     yt = pl.pallas_call(
         _sel_sigmoid_kernel,
         out_shape=jax.ShapeDtypeStruct(xt.shape, xt.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
         interpret=interpret,
     )(xt)
     return yt.T.reshape(b, m)

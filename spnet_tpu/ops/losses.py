@@ -242,12 +242,12 @@ def _pallas_fwd(y_true, y_pred, weights, loss_type):
             pl.BlockSpec(
                 (VARS_PER_PRED, _LANE_TILE),
                 lambda i: (0, i),
-                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (VARS_PER_PRED, _LANE_TILE),
                 lambda i: (0, i),
-                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -278,19 +278,19 @@ def _pallas_bwd(weights, loss_type, res, g):
             pl.BlockSpec(
                 (VARS_PER_PRED, _LANE_TILE),
                 lambda i: (0, i),
-                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (VARS_PER_PRED, _LANE_TILE),
                 lambda i: (0, i),
-                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (VARS_PER_PRED, _LANE_TILE),
             lambda i: (0, i),
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+            memory_space=pl.ANY if interpret else pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((VARS_PER_PRED, n_pad), jnp.float32),
         interpret=interpret,

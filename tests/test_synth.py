@@ -1,0 +1,101 @@
+"""Synthetic ESPI generator tests: determinism, label contract, render
+sanity, dataset file layout (capability parity with
+`/root/reference/gen_fake_espi.py`)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from spnet_tpu.config import GridSpec
+from spnet_tpu.data.csvio import paired_file_lists, parse_meta_file
+from spnet_tpu.data.synth import (
+    MAX_ANTINODES,
+    generate_dataset,
+    render_frames,
+    sample_scene,
+    scenes_to_arrays,
+)
+from spnet_tpu.grid import canonicalize_records, ellipses_to_grid
+
+
+def test_scene_determinism():
+    s1 = sample_scene(0, 42)
+    s2 = sample_scene(0, 42)
+    np.testing.assert_array_equal(s1.cx, s2.cx)
+    np.testing.assert_array_equal(s1.rings, s2.rings)
+    assert s1.amp == s2.amp
+    s3 = sample_scene(0, 43)
+    assert (s1.cx != s3.cx).any() or s1.amp != s3.amp
+
+
+def test_scene_label_distributions():
+    for f in range(20):
+        sc = sample_scene(1, f)
+        n = int(sc.present.sum())
+        assert 1 <= n <= MAX_ANTINODES
+        for k in np.nonzero(sc.present)[0]:
+            assert sc.a[k] >= sc.b[k]  # semimajor >= semiminor
+            assert 1 <= sc.rings[k] <= 11
+            assert 1 <= sc.angle[k] <= 180
+            # in-bounds bbox-ish check on centers
+            assert 0 <= sc.cx[k] <= 512 and 0 <= sc.cy[k] <= 384
+
+
+def test_scene_nonoverlap():
+    """Bounding boxes of placed antinodes must not overlap."""
+    from spnet_tpu.data.synth import _boxes_overlap, _ellipse_bbox
+
+    for f in range(10):
+        sc = sample_scene(2, f)
+        boxes = [
+            _ellipse_bbox(sc.cx[k], sc.cy[k], sc.a[k], sc.b[k], sc.angle[k])
+            for k in np.nonzero(sc.present)[0]
+        ]
+        for i in range(len(boxes)):
+            for j in range(i + 1, len(boxes)):
+                assert not _boxes_overlap(boxes[i], boxes[j])
+
+
+def test_render_batch():
+    scenes = [sample_scene(3, f) for f in range(4)]
+    imgs = np.asarray(render_frames(scenes_to_arrays(scenes)))
+    assert imgs.shape == (4, 384, 512)
+    assert imgs.min() >= 0.0 and imgs.max() <= 255.0
+    # dropout kills ~half the pixels
+    frac_zero = (imgs == 0).mean()
+    assert 0.3 < frac_zero < 0.7
+    # image has structure (not constant)
+    assert imgs.std() > 20
+
+
+def test_labels_fit_grid():
+    """Generated labels must encode into the default 6x6x2 grid (that is
+    the reference's operating regime)."""
+    g = GridSpec()
+    overflow = 0
+    for f in range(30):
+        sc = sample_scene(4, f)
+        recs = canonicalize_records(np.array(sc.caption_rows()))
+        try:
+            ellipses_to_grid(recs, g)
+        except Exception:
+            overflow += 1
+    # non-overlapping ellipses of radius >= 15 rarely exceed 2 per 71x51
+    # cell; tolerate a small overflow rate
+    assert overflow <= 2
+
+
+def test_generate_dataset(tmp_path):
+    out = str(tmp_path)
+    generate_dataset(out, 6, seed=5, train_only=True, batch=4, verbose=False)
+    imgs, metas = paired_file_lists(os.path.join(out, "Train") + os.sep)
+    assert len(imgs) == 6
+    assert os.path.basename(imgs[0]) == "steelpan_0000000.png"
+    recs = parse_meta_file(metas[0])
+    assert recs.shape[1] == 8
+    from PIL import Image
+
+    arr = np.asarray(Image.open(imgs[0]))
+    assert arr.shape == (384, 512)

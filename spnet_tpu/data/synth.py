@@ -253,12 +253,14 @@ def _render_antinode(xs, ys, present, cx, cy, a, b, angle_deg, rings, start):
     min(a,b)/(2*rings) (`gen_fake_espi.py:101-114`); here each outline is
     an annulus |r - s_j| <= (t/2)*|grad r| of the normalized radius
     r(x, y), which has the same constant *pixel* width."""
-    th = jnp.deg2rad(angle_deg)
+    # NEGATED angle: the annotation convention has y upward ("the web
+    # interface is upside down"), so everything that rasterizes on the
+    # y-down pixel grid — the reference's draw_ellipse (`utils.py:50`),
+    # our IoU rasterizer, the overlay renderer, and this generator —
+    # negates the label angle.
+    th = jnp.deg2rad(-angle_deg)
     c, s = jnp.cos(th), jnp.sin(th)
     dx, dy = xs - cx, ys - cy
-    # note: screen y grows downward; reference draws with cv2 angle
-    # conventions — orientation parity with the label is what matters,
-    # and both renderer and labels use the same convention here.
     u = dx * c + dy * s
     v = -dx * s + dy * c
     r2 = (u / a) ** 2 + (v / b) ** 2

@@ -32,20 +32,23 @@ from spnet_tpu.models.xception import Xception
 from spnet_tpu.ops.activations import selective_sigmoid_jnp
 
 
-def _make_backbone(name: str, width_mult: float = 1.0,
-                   module_name: str = "backbone"):
+def _backbone_ctor(name: str, width_mult: float = 1.0):
+    """Returns (constructor kwargs -> module factory, layer order).
+
+    The factory must only be invoked inside a parent module's compact
+    scope (flax naming rules)."""
     if name == "Xception":
-        return Xception(name=module_name), Xception.LAYER_ORDER
+        return lambda mn: Xception(name=mn), Xception.LAYER_ORDER
     if name == "MobileNet":
-        return (MobileNet(width_mult=width_mult, name=module_name),
+        return (lambda mn: MobileNet(width_mult=width_mult, name=mn),
                 MobileNet.LAYER_ORDER)
     if name == "MobileNetTiny":  # CPU-testable config
-        return (MobileNet(width_mult=0.125, name=module_name),
+        return (lambda mn: MobileNet(width_mult=0.125, name=mn),
                 MobileNet.LAYER_ORDER)
     if name == "InceptionResNetV2":
         from spnet_tpu.models.inception_resnet_v2 import InceptionResNetV2
 
-        return (InceptionResNetV2(name=module_name),
+        return (lambda mn: InceptionResNetV2(name=mn),
                 InceptionResNetV2.LAYER_ORDER)
     raise ValueError(f"unknown backbone {name!r}")
 
@@ -108,8 +111,8 @@ class SPNet(nn.Module):
         x = Stem(dtype=self.dtype, name="stem")(x, train)
         x = nn.Dropout(self.dropout_rate, deterministic=not train,
                        name="stem_dropout")(x)
-        bb, _ = _make_backbone(self.backbone, self.width_mult)
-        x = bb(x, train)
+        factory, _ = _backbone_ctor(self.backbone, self.width_mult)
+        x = factory("backbone")(x, train)
         x = x.reshape((x.shape[0], -1))
         # fp32 head: the 576-way regression is precision-sensitive
         x = x.astype(jnp.float32)
@@ -120,7 +123,7 @@ class SPNet(nn.Module):
         return x
 
     def backbone_layer_order(self):
-        _, order = _make_backbone(self.backbone, self.width_mult)
+        _, order = _backbone_ctor(self.backbone, self.width_mult)
         return order
 
 

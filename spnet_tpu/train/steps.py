@@ -1,0 +1,120 @@
+"""Jitted train / eval steps.
+
+The whole per-batch pipeline of the reference — on-the-fly augmentation
+(`callbacks.py:319-338`), forward+loss (the compiled `custom_loss` graph),
+LR mutation (`callbacks.py:396-398`), optimizer update — becomes ONE fused
+XLA program per step, with optional data-parallel sharding over the mesh
+('data' axis; gradients all-reduce over ICI automatically under jit with
+sharded batch inputs).
+
+L2 regularization: the reference attaches l2(1e-4) to every layer kernel
+via a JSON round-trip (`models.py:47-71,401`); here it is an explicit
+penalty over all 'kernel' leaves added to the loss.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from spnet_tpu.config import LossWeights
+from spnet_tpu.ops.augment import augment_on_the_fly
+from spnet_tpu.ops.losses import loss_components, spnet_loss_pallas
+from spnet_tpu.train.state import TrainState
+
+
+def kernel_l2(params) -> jnp.ndarray:
+    """Sum of squared conv/dense kernels (BN scales/biases excluded)."""
+    total = 0.0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        if getattr(path[-1], "key", None) == "kernel":
+            total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+    return total
+
+
+def make_train_step(
+    model,
+    loss_weights: LossWeights = LossWeights(),
+    loss_type: str = "same",
+    l2_reg: float = 1e-4,
+    augment: bool = True,
+    use_pallas_loss: bool = False,
+):
+    """Returns train_step(state, x, y, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, x, y, rng):
+        aug_rng, dropout_rng = jax.random.split(rng)
+        if augment:
+            x = augment_on_the_fly(x, aug_rng)
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            if use_pallas_loss:
+                data_loss = spnet_loss_pallas(y, out, loss_weights,
+                                              loss_type)
+            else:
+                data_loss = loss_components(y, out, loss_weights,
+                                            loss_type)["total"]
+            loss = data_loss
+            if l2_reg:
+                loss = loss + l2_reg * kernel_l2(params)
+            return loss, (updates["batch_stats"], data_loss)
+
+        (loss, (new_stats, data_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        metrics = {
+            "loss": loss,
+            "data_loss": data_loss,
+            "lr": state.schedule(state.step),
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, loss_weights: LossWeights = LossWeights(),
+                   loss_type: str = "same"):
+    """Returns eval_step(state, x, y) -> (y_pred, component losses)."""
+
+    def eval_step(state: TrainState, x, y):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            train=False,
+        )
+        comps = loss_components(y, out, loss_weights, loss_type)
+        return out, comps
+
+    return jax.jit(eval_step)
+
+
+def make_predict_step(model):
+    """Returns predict(params, batch_stats, x) -> y_pred (normalized)."""
+
+    def predict(params: Any, batch_stats: Any, x):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+
+    return jax.jit(predict)

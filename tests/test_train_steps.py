@@ -1,0 +1,142 @@
+"""Training machinery tests: 1-cycle schedule parity with the reference
+LUT, freeze masks, a few steps of actual optimization (loss decreases),
+and data-parallel execution on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spnet_tpu.config import GridSpec, LossWeights
+from spnet_tpu.grid import normalize
+from spnet_tpu.models.spnet import SPNet
+from spnet_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+from spnet_tpu.train.schedule import onecycle_lut, onecycle_schedule
+from spnet_tpu.train.state import (
+    backbone_freeze_labels,
+    create_train_state,
+    unfreeze,
+)
+from spnet_tpu.train.steps import make_eval_step, make_train_step
+
+
+def test_onecycle_matches_reference_lut():
+    lut = onecycle_lut(4e-5, n_data_points=800, epochs=10, batch_size=16)
+    sched = onecycle_schedule(4e-5, total_steps=len(lut))
+    got = np.array([float(sched(i)) for i in range(len(lut))])
+    np.testing.assert_allclose(got, lut, rtol=2e-3)
+    # beyond the schedule: holds the final value
+    assert float(sched(len(lut) + 100)) == pytest.approx(lut[-1] * 0 +
+                                                         4e-5 / 25 / 1e4,
+                                                         rel=1e-5)
+
+
+def _tiny_setup(freeze_fac=0.0, augment=False):
+    model = SPNet(num_outputs=576, backbone="MobileNetTiny",
+                  dtype=jnp.float32)
+    sched = onecycle_schedule(1e-3, total_steps=100)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((2, 64, 64, 1)), sched,
+        freeze_fac=freeze_fac,
+    )
+    step = make_train_step(model, LossWeights(), "same", l2_reg=1e-4,
+                           augment=augment)
+    return model, state, step
+
+
+def _tiny_batch(b=4):
+    g = GridSpec()
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (b, 64, 64, 1)).astype(np.float32)
+    yt = np.tile(g.defaults.reshape(-1), (b, 1))
+    y = normalize(yt, g).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+@pytest.mark.slow
+def test_loss_decreases():
+    model, state, step = _tiny_setup()
+    x, y = _tiny_batch()
+    losses = []
+    for i in range(30):
+        state, m = step(state, x, y, jax.random.key(i))
+        losses.append(float(m["data_loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
+    assert int(state.step) == 30
+
+
+def test_freeze_labels_and_unfreeze():
+    model, state, step = _tiny_setup(freeze_fac=0.5)
+    labels = backbone_freeze_labels(
+        state.params, model.backbone_layer_order(), 0.5
+    )
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    frozen_blocks = {
+        p[1].key for p, v in flat
+        if v == "frozen" and p[0].key == "backbone"
+    }
+    # 14 backbone blocks * 0.5 -> first 7 frozen
+    assert frozen_blocks == {"conv1"} | {f"block{i}" for i in range(1, 7)}
+    # stem and head never frozen
+    assert all(
+        v == "train" for p, v in flat if p[0].key in ("stem", "final_output")
+    )
+
+    x, y = _tiny_batch(2)
+    # snapshot to host: the train step donates the state buffers
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    state, _ = step(state, x, y, jax.random.key(0))
+    # frozen leaves unchanged, trainable leaves changed
+    def diff(a, b):
+        return float(jnp.abs(a - b).max())
+
+    assert diff(state.params["backbone"]["conv1"]["conv"]["kernel"],
+                p0["backbone"]["conv1"]["conv"]["kernel"]) == 0.0
+    assert diff(state.params["final_output"]["kernel"],
+                p0["final_output"]["kernel"]) > 0.0
+
+    p1 = jax.tree_util.tree_map(np.asarray, state.params)
+    step_before = int(state.step)
+    state2 = unfreeze(state, model)
+    state2, _ = step(state2, x, y, jax.random.key(1))
+    assert diff(state2.params["backbone"]["conv1"]["conv"]["kernel"],
+                p1["backbone"]["conv1"]["conv"]["kernel"]) > 0.0
+    # step counter carried across the phase switch
+    assert int(state2.step) == step_before + 1
+
+
+def test_data_parallel_step_matches_single_device():
+    """The same batch must produce the same results whether it is
+    replicated on one device or sharded over the 8-device mesh.  The eval
+    path (frozen batch stats) must agree tightly; the train step involves
+    cross-device batch-norm reductions whose float32 reassociation shifts
+    the loss slightly, so it gets a looser bound."""
+    model, state, step = _tiny_setup()
+    x, y = _tiny_batch(8)
+    ev = make_eval_step(model, LossWeights(), "same")
+    out1, comp1 = ev(state, x, y)
+    out1 = np.asarray(out1)
+
+    mesh = make_mesh()
+    assert mesh.size == 8
+    state_r = replicate_state(mesh, state)
+    xs, ysh = shard_batch(mesh, x, y)
+    out2, comp2 = ev(state_r, xs, ysh)
+    np.testing.assert_allclose(np.asarray(out2), out1, rtol=1e-4,
+                               atol=1e-5)
+    assert float(comp2["total"]) == pytest.approx(float(comp1["total"]),
+                                                  rel=1e-4)
+
+    # train step: executes correctly under sharding, loss close
+    s1, m1 = step(state, x, y, jax.random.key(0))
+    model2, state2, step2 = _tiny_setup()
+    state2 = replicate_state(mesh, state2)
+    s2, m2 = step2(state2, xs, ysh, jax.random.key(0))
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=2e-2)
+
+
+def test_augment_in_train_step_runs():
+    model, state, step = _tiny_setup(augment=True)
+    x, y = _tiny_batch(2)
+    state, m = step(state, x, y, jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))

@@ -1,0 +1,197 @@
+"""Dataset assembly: images X + grid-encoded targets Y.
+
+Capability twin of the reference's `build_dataset`/`build_X`/`build_Y`
+(`/root/reference/spnet/utils.py:289-482`), with the hidden means/ranges
+module state replaced by the explicit `GridSpec` and the multiprocessing
+shared-memory image loader replaced by (a) a PIL host loader with an
+optional .npy cache and (b) the native C++ loader in spnet_tpu/native
+when built (see loader.py).
+
+Data contract preserved: directories of paired `*.png` + `*.csv`; images
+resized to input_size x input_size, grayscale, Inception scaling
+(img/255 - 0.5) * 2  (`utils.py:340-342`); Y is the normalized flat
+(B, nx*ny*preds*8) grid; dataset truncated to a multiple of batch_size
+(`utils.py:471-472`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random as py_random
+
+import numpy as np
+
+from spnet_tpu.config import GridSpec
+from spnet_tpu.data.csvio import paired_file_lists, parse_meta_file
+from spnet_tpu.grid import batch_ellipses_to_grid, normalize
+
+
+@dataclasses.dataclass
+class Dataset:
+    x: np.ndarray  # (N, H, W, 1) float32, inception-scaled
+    y: np.ndarray  # (N, num_outputs) float32, normalized
+    file_list: list[str]
+    grid: GridSpec
+
+
+def nearest_multiple(a: int, b: int) -> int:
+    """Largest multiple of b that is <= a (reference `utils.py:256`)."""
+    return (a // b) * b
+
+
+def load_image(path: str, size: int | None, grayscale: bool = True
+               ) -> np.ndarray:
+    """Decode + resize one image -> float32 (H, W, 1) in [-1, 1]."""
+    from PIL import Image
+
+    img = Image.open(path)
+    if size is not None and img.size != (size, size):
+        img = img.resize((size, size), Image.LANCZOS)
+    arr = np.asarray(img, dtype=np.float32)
+    if arr.ndim == 3:
+        arr = arr[..., 0]  # keep one channel of RGB sources
+    arr = (arr / 255.0 - 0.5) * 2.0
+    return arr[..., None]
+
+
+def build_x(
+    img_files: list[str], size: int | None = 331, verbose: bool = True
+) -> np.ndarray:
+    """Load a list of images into (N, size, size, 1) float32.
+
+    Uses the native C++ decode pipeline when available, else PIL."""
+    try:
+        from spnet_tpu.data.loader import native_build_x
+
+        out = native_build_x(img_files, size)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    n = len(img_files)
+    if n == 0:
+        raise ValueError("no images to load")
+    first = load_image(img_files[0], size)
+    x = np.zeros((n,) + first.shape, np.float32)
+    x[0] = first
+    for i in range(1, n):
+        if verbose and i % 2000 == 0:
+            print(f"      loading image {i}/{n}", end="\r")
+        x[i] = load_image(img_files[i], size)
+    if verbose and n > 2000:
+        print()
+    return x
+
+
+def build_y(
+    meta_files: list[str], grid: GridSpec, img_files: list[str] | None = None
+) -> np.ndarray:
+    """Parse all metadata, encode to the grid, normalize."""
+    recs = []
+    for i, mf in enumerate(meta_files):
+        try:
+            recs.append(parse_meta_file(mf))
+        except Exception as e:  # surface the offending file
+            raise ValueError(f"failed parsing {mf}: {e}") from e
+    flat = batch_ellipses_to_grid(recs, grid)
+    return normalize(flat, grid).astype(np.float32)
+
+
+def build_dataset(
+    path: str,
+    grid: GridSpec | None = None,
+    load_frac: float = 1.0,
+    batch_size: int | None = None,
+    shuffle: bool = True,
+    input_size: int = 331,
+    seed: int | None = None,
+    cache: bool = False,
+) -> Dataset:
+    """Load a Train/Val/Test directory into a Dataset."""
+    grid = grid or GridSpec()
+    img_files, meta_files = paired_file_lists(
+        path if path.endswith(os.sep) else path + os.sep
+    )
+    if shuffle:
+        pairs = list(zip(img_files, meta_files))
+        rng = py_random.Random(seed)
+        rng.shuffle(pairs)
+        img_files, meta_files = map(list, zip(*pairs))
+
+    total = int(len(img_files) * load_frac)
+    if batch_size:
+        total = nearest_multiple(total, batch_size)
+    if total == 0:
+        raise ValueError(
+            f"{path}: 0 usable examples (found {len(img_files)} files, "
+            f"load_frac={load_frac}, batch_size={batch_size})"
+        )
+    img_files, meta_files = img_files[:total], meta_files[:total]
+
+    cache_path = os.path.join(path, f".x_cache_{input_size}.npz")
+    y = build_y(meta_files, grid, img_files)
+    if cache and not shuffle and os.path.exists(cache_path):
+        x = np.load(cache_path)["x"]
+        if x.shape[0] != total:
+            x = build_x(img_files, input_size)
+    else:
+        x = build_x(img_files, input_size)
+        if cache and not shuffle:
+            np.savez(cache_path, x=x)
+    return Dataset(x=x, y=y, file_list=img_files, grid=grid)
+
+
+def batches(n: int, batch_size: int, shuffle: bool = True,
+            seed: int = 0):
+    """Yield index arrays covering [0, n) in batches (drop remainder)."""
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    for s in range(0, n - batch_size + 1, batch_size):
+        yield idx[s : s + batch_size]
+
+
+def synthetic_dataset(
+    num_frames: int,
+    grid: GridSpec | None = None,
+    seed: int = 0,
+    input_size: int = 331,
+    batch_size: int | None = None,
+) -> Dataset:
+    """In-memory synthetic dataset: generator -> arrays, no PNG round
+    trip.  Used by tests and the quick-start path."""
+    import jax
+    import jax.image
+
+    from spnet_tpu.data.synth import generate_arrays
+    from spnet_tpu.grid import canonicalize_records
+
+    grid = grid or GridSpec()
+    if batch_size:
+        num_frames = nearest_multiple(num_frames, batch_size)
+    xs, ys, files = [], [], []
+    for imgs, scenes in generate_arrays(num_frames, seed=seed):
+        arr = imgs.astype(np.float32)[..., None]
+        if input_size is not None:
+            arr = np.asarray(
+                jax.image.resize(
+                    jax.numpy.asarray(arr),
+                    (arr.shape[0], input_size, input_size, 1),
+                    method="linear",
+                )
+            )
+        xs.append(((arr / 255.0) - 0.5) * 2.0)
+        recs = [canonicalize_records(np.array(s.caption_rows()).reshape(-1, 6))
+                for s in scenes]
+        ys.append(normalize(batch_ellipses_to_grid(recs, grid), grid))
+        base = len(files)
+        files.extend(
+            f"synthetic://{seed}/{base + i}" for i in range(len(scenes))
+        )
+    return Dataset(
+        x=np.concatenate(xs).astype(np.float32),
+        y=np.concatenate(ys).astype(np.float32),
+        file_list=files,
+        grid=grid,
+    )

@@ -1,0 +1,205 @@
+"""The training orchestrator.
+
+Twin of `train_network` (`/root/reference/train_spnet.py:32-85`) plus the
+per-epoch diagnostics of `MyProgressCallback`
+(`/root/reference/spnet/callbacks.py:113-267`), restructured around a
+fused jitted train step:
+
+  * augmentation runs ON DEVICE inside the step (no host epoch rewrite)
+  * the 1-cycle LR is a schedule inside the optimizer (no callback)
+  * frozen-phase -> unfreeze is an optimizer-mask swap (no model rebuild)
+  * checkpoints via Orbax every `save_every` epochs + auto-resume
+
+Per-epoch observability parity: val-set predict with FPS timing,
+component losses (`losses.dat`), confusion/ring metrics, 3-panel
+progress.png, overlay renders of the first 40 val frames.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spnet_tpu.config import ExperimentConfig
+from spnet_tpu.data.dataset import Dataset, batches
+from spnet_tpu.eval.metrics import calc_errors
+from spnet_tpu.grid import denormalize
+from spnet_tpu.io.checkpoint import restore_if_exists, save_checkpoint
+from spnet_tpu.io.logs import LossLog, save_progress_plot
+from spnet_tpu.io.render import show_pred_ellipses
+from spnet_tpu.models.spnet import build_model
+from spnet_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+from spnet_tpu.train.schedule import onecycle_schedule
+from spnet_tpu.train.state import create_train_state, unfreeze
+from spnet_tpu.train.steps import (
+    make_eval_step,
+    make_predict_step,
+    make_train_step,
+)
+
+
+def predict_in_batches(predict_fn, params, batch_stats, x, batch_size,
+                       mesh=None, verbose=True):
+    """Batched inference with FPS timing (the reference times every
+    predict: `callbacks.py:137-141`, `evaluate_spnet.py:64-68`)."""
+    outs = []
+    m = x.shape[0]
+    start = time.time()
+    for s in range(0, m, batch_size):
+        xb = jnp.asarray(x[s : s + batch_size])
+        if xb.shape[0] < batch_size:  # pad final partial batch
+            pad = batch_size - xb.shape[0]
+            xb = jnp.concatenate([xb, jnp.zeros((pad,) + xb.shape[1:],
+                                                xb.dtype)])
+            outs.append(np.asarray(predict_fn(params, batch_stats, xb))[
+                : batch_size - pad])
+        else:
+            if mesh is not None and xb.shape[0] % mesh.size == 0:
+                xb = shard_batch(mesh, xb)
+            outs.append(np.asarray(predict_fn(params, batch_stats, xb)))
+    y = np.concatenate(outs)
+    elapsed = time.time() - start
+    if verbose:
+        print(f"    predict: {m} frames in {elapsed:.2f}s  "
+              f"FPS = {m / max(elapsed, 1e-9):.1f}")
+    return y, m / max(elapsed, 1e-9)
+
+
+def train_network(
+    cfg: ExperimentConfig,
+    train_ds: Dataset,
+    val_ds: Dataset,
+    log_dir: str = "./logs/run",
+    ckpt_dir: str | None = None,
+    data_parallel: bool = True,
+    render_overlays: bool = True,
+    verbose: int = 1,
+):
+    """Full training run; returns (state, model, history)."""
+    tc, mc = cfg.train, cfg.model
+    grid = cfg.grid
+    rng = jax.random.key(tc.seed)
+
+    model = build_model(mc, num_outputs=grid.num_outputs)
+    n_train = train_ds.x.shape[0]
+    steps_per_epoch = n_train // tc.batch_size
+    total_steps = steps_per_epoch * tc.epochs
+    sched = onecycle_schedule(
+        tc.lr_max, total_steps, tc.onecycle_pct_start,
+        tc.onecycle_div_factor, tc.onecycle_final_div,
+    )
+
+    sample = jnp.zeros((tc.batch_size,) + train_ds.x.shape[1:],
+                       jnp.float32)
+    state = create_train_state(model, rng, sample, sched,
+                               freeze_fac=tc.freeze_fac)
+    if ckpt_dir:
+        state = restore_if_exists(ckpt_dir, state)
+
+    mesh = None
+    if data_parallel and len(jax.devices()) > 1 \
+            and tc.batch_size % len(jax.devices()) == 0:
+        mesh = make_mesh()
+        state = replicate_state(mesh, state)
+        if verbose:
+            print(f"    data-parallel over {mesh.size} devices")
+
+    train_step = make_train_step(
+        model, cfg.loss_weights, mc.loss_type, l2_reg=mc.l2_reg,
+        augment=tc.augment,
+    )
+    eval_step = make_eval_step(model, cfg.loss_weights, mc.loss_type)
+    predict_fn = make_predict_step(model)
+
+    log = LossLog(log_dir)
+    history = []
+    frozen_left = tc.frozen_epochs if tc.freeze_fac > 0 else 0
+
+    for epoch in range(tc.epochs):
+        t0 = time.time()
+        ep_loss, nb = 0.0, 0
+        for bi, idx in enumerate(
+            batches(n_train, tc.batch_size, shuffle=True,
+                    seed=tc.seed + epoch)
+        ):
+            xb = jnp.asarray(train_ds.x[idx])
+            yb = jnp.asarray(train_ds.y[idx])
+            if mesh is not None:
+                xb, yb = shard_batch(mesh, xb, yb)
+            step_rng = jax.random.fold_in(rng, epoch * steps_per_epoch + bi)
+            state, metrics = train_step(state, xb, yb, step_rng)
+            ep_loss += float(metrics["loss"])
+            nb += 1
+        ep_loss /= max(nb, 1)
+        train_time = time.time() - t0
+        img_per_sec = nb * tc.batch_size / max(train_time, 1e-9)
+
+        # ---- unfreeze transition (reference `train_spnet.py:74-78`) ----
+        if tc.freeze_fac > 0 and frozen_left > 0:
+            frozen_left -= 1
+            if frozen_left == 0:
+                if verbose:
+                    print("    unfreezing backbone")
+                state = unfreeze(state, model)
+                if mesh is not None:
+                    state = replicate_state(mesh, state)
+
+        # ---- epoch-end diagnostics ----
+        y_pred, fps = predict_in_batches(
+            predict_fn, state.params, state.batch_stats, val_ds.x,
+            tc.batch_size, mesh=mesh, verbose=verbose > 1,
+        )
+        _, comps = eval_step(state, jnp.asarray(val_ds.x[: tc.batch_size]),
+                             jnp.asarray(val_ds.y[: tc.batch_size]))
+        comps_np = {k: float(v) for k, v in comps.items()}
+
+        if mc.loss_type != "same":  # decode noobj logits
+            from spnet_tpu.config import IND_NOOBJ, VARS_PER_PRED
+
+            y_pred[:, IND_NOOBJ::VARS_PER_PRED] = 1.0 / (
+                1.0 + np.exp(-y_pred[:, IND_NOOBJ::VARS_PER_PRED])
+            )
+        yv = denormalize(val_ds.y, grid)
+        yp = denormalize(y_pred, grid)
+        st = calc_errors(yp, yv)
+        log.append(epoch, ep_loss, comps_np, st.class_acc)
+        history.append(
+            {
+                "epoch": epoch,
+                "train_loss": ep_loss,
+                "val_comps": comps_np,
+                "ring_acc": st.ring_acc,
+                "class_acc": st.class_acc,
+                "mean_pix_err": st.mean_pix_err,
+                "img_per_sec": img_per_sec,
+                "val_fps": fps,
+            }
+        )
+        if verbose:
+            print(
+                f"epoch {epoch + 1}/{tc.epochs}  loss {ep_loss:.5f}  "
+                f"val {comps_np['total']:.5f}  "
+                f"ring_acc {st.ring_acc:.2f}%  "
+                f"class_acc {st.class_acc:.2f}%  "
+                f"pix_err {st.mean_pix_err:.2f}  "
+                f"{img_per_sec:.1f} img/s  val_fps {fps:.0f}"
+            )
+        try:
+            save_progress_plot(log_dir, log, yv, yp,
+                               (grid.img_width, grid.img_height))
+            if render_overlays:
+                show_pred_ellipses(yv, yp, val_ds.file_list,
+                                   num_draw=40, log_dir=log_dir)
+        except Exception as e:
+            print(f"    (plot/render skipped: {e})")
+
+        if ckpt_dir and ((epoch + 1) % tc.save_every == 0
+                         or epoch == tc.epochs - 1):
+            save_checkpoint(ckpt_dir, state, cfg)
+            if verbose:
+                print(f"    checkpoint saved to {ckpt_dir}")
+
+    return state, model, history

@@ -1,0 +1,115 @@
+"""End-to-end slice: synthetic data -> train -> evaluate -> predict ->
+checkpoint/resume, on a tiny CPU-runnable config.  This mirrors how the
+reference validates itself — training on generated data with known labels
+(SURVEY.md §4)."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+from spnet_tpu.config import (
+    ExperimentConfig,
+    GridSpec,
+    ModelConfig,
+    TrainConfig,
+)
+from spnet_tpu.data.dataset import build_dataset, synthetic_dataset
+from spnet_tpu.data.synth import generate_dataset
+from spnet_tpu.eval.evaluate import evaluate_network
+from spnet_tpu.eval.predict import predict_network
+from spnet_tpu.io.checkpoint import load_checkpoint, restore_if_exists
+from spnet_tpu.train.loop import train_network
+
+
+def _tiny_cfg():
+    return ExperimentConfig(
+        grid=GridSpec(),
+        model=ModelConfig(backbone="MobileNetTiny", input_size=96,
+                          compute_dtype="float32"),
+        train=TrainConfig(batch_size=8, epochs=3, lr_max=2e-3,
+                          augment=False, save_every=2, seed=0),
+    )
+
+
+@pytest.mark.slow
+def test_end_to_end(tmp_path):
+    cfg = _tiny_cfg()
+    data_dir = str(tmp_path / "data")
+    generate_dataset(data_dir, 24, seed=11, train_only=False, batch=8,
+                     verbose=False)
+    # 80/20: Train has ~19, Val ~5 -> rebalance by just using Train twice
+    train_ds = build_dataset(
+        os.path.join(data_dir, "Train"), cfg.grid, batch_size=8,
+        input_size=cfg.model.input_size, seed=0,
+    )
+    val_ds = build_dataset(
+        os.path.join(data_dir, "Val"), cfg.grid, batch_size=None,
+        shuffle=False, input_size=cfg.model.input_size,
+    )
+
+    log_dir = str(tmp_path / "logs")
+    ckpt_dir = str(tmp_path / "ckpt")
+    state, model, history = train_network(
+        cfg, train_ds, val_ds, log_dir=log_dir, ckpt_dir=ckpt_dir,
+        data_parallel=True, render_overlays=True, verbose=0,
+    )
+    assert len(history) == 3
+    assert history[-1]["train_loss"] < history[0]["train_loss"]
+    assert os.path.exists(os.path.join(log_dir, "losses.dat"))
+    assert os.path.exists(os.path.join(log_dir, "progress.png"))
+    assert os.path.exists(os.path.join(log_dir, "steelpan_pred_00000.png"))
+
+    # checkpoint written + config round-trips with the grid spec
+    payload, cfg2 = load_checkpoint(ckpt_dir)
+    assert cfg2.grid == cfg.grid
+    assert int(np.asarray(payload["step"])) == int(state.step)
+
+    # evaluate
+    res = evaluate_network(cfg, state, model, val_ds,
+                           log_dir=str(tmp_path / "eval") + os.sep,
+                           num_draw=3, verbose=0)
+    assert 0.0 <= res["mAP"] <= 1.0
+    assert np.isfinite(res["mean_pix_err"])
+    assert os.path.exists(str(tmp_path / "eval") + os.sep +
+                          "hawley_spnet.csv")
+
+    # predict (label-free)
+    yp, files = predict_network(
+        cfg, state, model, os.path.join(data_dir, "Val"),
+        log_dir=str(tmp_path / "pred") + os.sep, batch_size=4, num_draw=2,
+        verbose=0,
+    )
+    assert yp.shape[1] == cfg.grid.num_outputs
+
+    # resume: fresh state picks up the checkpointed step
+    from spnet_tpu.models.spnet import build_model
+    from spnet_tpu.train.schedule import onecycle_schedule
+    from spnet_tpu.train.state import create_train_state
+    import jax
+    import jax.numpy as jnp
+
+    model2 = build_model(cfg.model, num_outputs=cfg.grid.num_outputs)
+    fresh = create_train_state(
+        model2, jax.random.key(0),
+        jnp.zeros((2, 96, 96, 1)), onecycle_schedule(1e-3, 10),
+    )
+    resumed = restore_if_exists(ckpt_dir, fresh)
+    assert int(resumed.step) == int(state.step)
+    np.testing.assert_allclose(
+        np.asarray(resumed.params["final_output"]["kernel"]),
+        np.asarray(state.params["final_output"]["kernel"]),
+    )
+
+
+@pytest.mark.slow
+def test_synthetic_inmemory_dataset():
+    cfg = _tiny_cfg()
+    ds = synthetic_dataset(16, cfg.grid, seed=3, input_size=64,
+                           batch_size=8)
+    assert ds.x.shape == (16, 64, 64, 1)
+    assert ds.y.shape == (16, cfg.grid.num_outputs)
+    assert np.isfinite(ds.x).all() and np.isfinite(ds.y).all()
+    assert -1.01 <= ds.x.min() and ds.x.max() <= 1.01

@@ -1,0 +1,93 @@
+"""Shared CLI plumbing: config assembly from flags, checkpoint loading."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from spnet_tpu.config import (
+    ExperimentConfig,
+    GridSpec,
+    ModelConfig,
+    TrainConfig,
+)
+from spnet_tpu.io.checkpoint import load_checkpoint
+from spnet_tpu.models.spnet import build_model
+from spnet_tpu.train.schedule import onecycle_schedule
+from spnet_tpu.train.state import create_train_state
+
+
+def parse_grid(s: str) -> tuple[int, int, int]:
+    """'6x6x2' -> (6, 6, 2) (reference `train_spnet.py:118`)."""
+    parts = [int(v) for v in s.split("x")]
+    if len(parts) != 3:
+        raise argparse.ArgumentTypeError("grid must look like 6x6x2")
+    return tuple(parts)
+
+
+def add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--backbone", default="Xception",
+                   choices=["Xception", "MobileNet", "MobileNetTiny",
+                            "InceptionResNetV2"],
+                   help="CNN backbone")
+    p.add_argument("--loss_type", default="same",
+                   choices=["same", "hybrid"],
+                   help="'same' = MSE existence, 'hybrid' = BCE logits")
+    p.add_argument("--input_size", type=int, default=331,
+                   help="square input resolution")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="compute dtype")
+
+
+def config_from_args(args, grid_tuple=(6, 6, 2)) -> ExperimentConfig:
+    nx, ny, preds = grid_tuple
+    return ExperimentConfig(
+        grid=GridSpec(nx=nx, ny=ny, preds_per_cell=preds),
+        model=ModelConfig(
+            backbone=getattr(args, "backbone", "Xception"),
+            input_size=getattr(args, "input_size", 331),
+            loss_type=getattr(args, "loss_type", "same"),
+            compute_dtype=getattr(args, "dtype", "bfloat16"),
+        ),
+        train=TrainConfig(
+            batch_size=getattr(args, "batch_size", 16),
+            epochs=getattr(args, "epochs", 100),
+            lr_max=getattr(args, "lrmax", 4e-5),
+            freeze_fac=getattr(args, "freeze_fac", 0.0),
+            frozen_epochs=getattr(args, "frozen_epochs", 0),
+            fraction=getattr(args, "fraction", 1.0),
+            seed=getattr(args, "random_seed", 1),
+            augment=not getattr(args, "noaugment", False),
+        ),
+    )
+
+
+def load_model_and_state(ckpt_dir: str):
+    """Rebuild model + state from a checkpoint directory (the 'whole
+    model load' path — config travels with the weights)."""
+    payload, cfg = load_checkpoint(ckpt_dir)
+    model = build_model(cfg.model, num_outputs=cfg.grid.num_outputs)
+    state = create_train_state(
+        model,
+        jax.random.key(0),
+        jnp.zeros((1, cfg.model.input_size, cfg.model.input_size, 1),
+                  jnp.float32),
+        onecycle_schedule(cfg.train.lr_max, 1),
+    )
+    state = state.replace(
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+        step=jnp.asarray(payload["step"]),
+    )
+    return cfg, model, state
+
+
+def timestamped_log_dir(name: str = "") -> str:
+    now = time.strftime("%c").replace("  ", "_").replace(" ", "_")
+    base = "./logs/"
+    return base + (name + "_" + now if name else now)

@@ -1,0 +1,36 @@
+"""`spnet-gen-fake-espi` — synthesize fake ESPI frames + labels.
+
+Argparse surface mirrors `/root/reference/gen_fake_espi.py:319-328`:
+-n numframes, -d datapath, -a/--all (Train-only vs 80/20 Train/Val).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from spnet_tpu.data.synth import generate_dataset
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="generates synthetic ESPI-like training data",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-d", "--datapath", default=".",
+                   help="directory for Train/ (and maybe Val/) subdirs")
+    p.add_argument("-n", "--numframes", type=int, default=500)
+    p.add_argument("-a", "--all", action="store_true",
+                   help="generate Val too (80/20); default Train only")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch", type=int, default=64,
+                   help="frames per device render batch")
+    args = p.parse_args(argv)
+
+    generate_dataset(
+        args.datapath, args.numframes, seed=args.seed,
+        train_only=not args.all, batch=args.batch,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""`spnet-train` — train, then evaluate, then (optionally) predict.
+
+Argparse surface mirrors the reference (`/root/reference/train_spnet.py:
+96-112`): batch 16, epochs 100, grid 6x6x2, lr_max 4e-5, fraction,
+freeze_fac/frozen_epochs, seed, --noaugment, --name; plus backbone /
+loss-type / dtype selection.  After training it chains evaluation on
+Test/ (fallback Val/) like `train_spnet.py:131-138`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from spnet_tpu.cli.common import (
+    add_model_args,
+    config_from_args,
+    parse_grid,
+    timestamped_log_dir,
+)
+from spnet_tpu.data.dataset import build_dataset
+from spnet_tpu.eval.evaluate import evaluate_network
+from spnet_tpu.train.loop import train_network
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="trains network on training dataset",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("-b", "--batch_size", type=int, default=16)
+    p.add_argument("-d", "--datapath", default="./",
+                   help="directory with Train/ and Val/ subdirs")
+    p.add_argument("-e", "--epochs", type=int, default=100)
+    p.add_argument("-f", "--fraction", type=float, default=1.0)
+    p.add_argument("--freeze_fac", type=float, default=0.0)
+    p.add_argument("--frozen_epochs", type=int, default=0)
+    p.add_argument("-g", "--grid", type=parse_grid, default=(6, 6, 2),
+                   help="predictor grid, e.g. 6x6x2")
+    p.add_argument("-w", "--weights", default="ckpt",
+                   help="checkpoint directory (auto-resume if present)")
+    p.add_argument("-l", "--lrmax", type=float, default=4e-5)
+    p.add_argument("-n", "--noaugment", action="store_true")
+    p.add_argument("--name", default="")
+    p.add_argument("-r", "--random_seed", type=int, default=1)
+    p.add_argument("--no-eval", action="store_true",
+                   help="skip the post-training evaluation")
+    add_model_args(p)
+    args = p.parse_args(argv)
+
+    print("Command line ~= \n", " ".join(sys.argv))
+    print("args = ", args)
+
+    cfg = config_from_args(args, args.grid)
+    log_dir = timestamped_log_dir(args.name)
+    print("Logging to", log_dir)
+
+    train_ds = build_dataset(
+        os.path.join(args.datapath, "Train"), cfg.grid,
+        load_frac=args.fraction, batch_size=args.batch_size,
+        input_size=cfg.model.input_size, seed=args.random_seed,
+    )
+    val_ds = build_dataset(
+        os.path.join(args.datapath, "Val"), cfg.grid,
+        batch_size=args.batch_size, shuffle=False,
+        input_size=cfg.model.input_size,
+    )
+
+    state, model, history = train_network(
+        cfg, train_ds, val_ds, log_dir=log_dir, ckpt_dir=args.weights,
+    )
+
+    if not args.no_eval:
+        print("\n----------------------------\nStarting model evaluation...")
+        testpath = os.path.join(args.datapath, "Test")
+        if not os.path.isdir(testpath):
+            testpath = os.path.join(args.datapath, "Val")
+        test_ds = build_dataset(
+            testpath, cfg.grid, batch_size=args.batch_size, shuffle=False,
+            input_size=cfg.model.input_size,
+        )
+        evaluate_network(cfg, state, model, test_ds,
+                         log_dir="logs/Evaluation/")
+    print("SPNet-TPU execution completed.")
+
+
+if __name__ == "__main__":
+    main()

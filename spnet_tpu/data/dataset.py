@@ -47,7 +47,8 @@ def load_image(path: str, size: int | None, grayscale: bool = True
 
     img = Image.open(path)
     if size is not None and img.size != (size, size):
-        img = img.resize((size, size), Image.LANCZOS)
+        # BOX = area averaging, matching the native C++ loader's resample
+        img = img.resize((size, size), Image.BOX)
     arr = np.asarray(img, dtype=np.float32)
     if arr.ndim == 3:
         arr = arr[..., 0]  # keep one channel of RGB sources

@@ -1,0 +1,52 @@
+"""Native C++ loader tests: exact pixel parity with PIL at native
+resolution, approximate parity after resize, batch API, dims probe."""
+
+import numpy as np
+import pytest
+
+from spnet_tpu.data.dataset import build_x, load_image
+from spnet_tpu.data.synth import generate_dataset
+
+native_io = pytest.importorskip("spnet_tpu.native.io")
+
+pytestmark = pytest.mark.skipif(
+    not native_io.available(), reason="native loader not built"
+)
+
+
+@pytest.fixture(scope="module")
+def pngs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    generate_dataset(str(d), 4, seed=9, batch=4, verbose=False)
+    import glob
+    import os
+
+    return sorted(glob.glob(os.path.join(str(d), "Train", "*.png")))
+
+
+def test_native_resolution_exact(pngs):
+    x = native_io.load_images(pngs, size=None)
+    assert x.shape == (4, 384, 512, 1)
+    ref = np.stack([load_image(p, None) for p in pngs])
+    np.testing.assert_allclose(x, ref, atol=1e-6)
+
+
+def test_resized_close_to_pil(pngs):
+    x = native_io.load_images(pngs, size=128)
+    ref = np.stack([load_image(p, 128) for p in pngs])
+    assert x.shape == ref.shape == (4, 128, 128, 1)
+    # both paths are area-average resamplers; tiny rounding differences
+    assert np.abs(x - ref).mean() < 0.01
+    assert np.corrcoef(x.ravel(), ref.ravel())[0, 1] > 0.999
+
+
+def test_png_dims(pngs):
+    assert native_io.png_dims(pngs[0]) == (512, 384)
+
+
+def test_build_x_uses_native(pngs):
+    # dispatch path: build_x must produce the same result as the direct
+    # native call when the library is available
+    a = build_x(pngs, size=96, verbose=False)
+    b = native_io.load_images(pngs, size=96)
+    np.testing.assert_allclose(a, b)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -96,17 +97,32 @@ class Stem(nn.Module):
 
 
 class SPNet(nn.Module):
-    """Full detector: stem + backbone + flat grid head."""
+    """Full detector: stem + backbone + flat grid head.
+
+    head styles:
+      * default — single Dense(num_outputs) (reference `models.py:388`)
+      * selective_sigmoid — + strided sigmoid on the noobj slots
+        (reference model_type 'ss')
+      * compound_head — separate sigmoid existence branch + linear branch
+        interleaved back into the canonical layout (reference model_type
+        'compound', `models.py:379-386`).  The reference interleaves with
+        a permutation-matrix matmul (`InterleaveColumns`); on TPU this is
+        a pure data-layout operation, so it is done with reshape/concat
+        that XLA compiles to a copy — no FLOPs.
+    """
 
     num_outputs: int = 576
     backbone: str = "Xception"
     dropout_rate: float = 0.1
     selective_sigmoid: bool = False
+    compound_head: bool = False
     width_mult: float = 1.0
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from spnet_tpu.config import IND_NOOBJ, VARS_PER_PRED
+
         x = x.astype(self.dtype)
         x = Stem(dtype=self.dtype, name="stem")(x, train)
         x = nn.Dropout(self.dropout_rate, deterministic=not train,
@@ -116,8 +132,23 @@ class SPNet(nn.Module):
         x = x.reshape((x.shape[0], -1))
         # fp32 head: the 576-way regression is precision-sensitive
         x = x.astype(jnp.float32)
-        x = nn.Dense(self.num_outputs, dtype=jnp.float32,
-                     name="final_output")(x)
+        if self.compound_head:
+            n_preds = self.num_outputs // VARS_PER_PRED
+            sig = nn.Dense(n_preds, dtype=jnp.float32,
+                           name="sigmoid_output")(x)
+            sig = jax.nn.sigmoid(sig)
+            dense = nn.Dense(self.num_outputs - n_preds,
+                             dtype=jnp.float32, name="dense_output")(x)
+            # interleave: place sig[k] at slot k's IND_NOOBJ lane
+            d3 = dense.reshape(-1, n_preds, VARS_PER_PRED - 1)
+            out = jnp.concatenate(
+                [d3[..., :IND_NOOBJ], sig[..., None],
+                 d3[..., IND_NOOBJ:]], axis=-1,
+            )
+            x = out.reshape(-1, self.num_outputs)
+        else:
+            x = nn.Dense(self.num_outputs, dtype=jnp.float32,
+                         name="final_output")(x)
         if self.selective_sigmoid:
             x = selective_sigmoid_jnp(x)
         return x

@@ -95,3 +95,18 @@ def test_build_model_from_config():
     cfg = ModelConfig(backbone="MobileNetTiny", compute_dtype="float32")
     m = build_model(cfg, num_outputs=576)
     assert m.backbone == "MobileNetTiny"
+
+
+def test_compound_head():
+    """'compound' head: sigmoid existence branch interleaved into the
+    canonical layout (noobj lanes in [0,1], others unconstrained)."""
+    model = SPNet(num_outputs=128, backbone="MobileNetTiny",
+                  compound_head=True, dtype=jnp.float32)
+    x = jnp.ones((2, 64, 64, 1), jnp.float32)
+    y, variables, _ = _init_and_apply(model, x)
+    assert y.shape == (2, 128)
+    out = np.asarray(y).reshape(2, -1, 8)
+    noobj = out[..., 6]
+    assert ((noobj >= 0) & (noobj <= 1)).all()
+    top = set(variables["params"].keys())
+    assert {"sigmoid_output", "dense_output"} <= top

@@ -51,6 +51,10 @@ def _backbone_ctor(name: str, width_mult: float = 1.0):
 
         return (lambda mn: InceptionResNetV2(name=mn),
                 InceptionResNetV2.LAYER_ORDER)
+    if name == "DarkNet19":
+        from spnet_tpu.models.darknet import DarkNet19
+
+        return lambda mn: DarkNet19(name=mn), DarkNet19.LAYER_ORDER
     raise ValueError(f"unknown backbone {name!r}")
 
 

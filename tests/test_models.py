@@ -110,3 +110,10 @@ def test_compound_head():
     assert ((noobj >= 0) & (noobj <= 1)).all()
     top = set(variables["params"].keys())
     assert {"sigmoid_output", "dense_output"} <= top
+
+
+def test_darknet_backbone():
+    model = SPNet(num_outputs=576, backbone="DarkNet19", dtype=jnp.float32)
+    x = jnp.zeros((1, 128, 128, 1), jnp.float32)
+    y, _, _ = _init_and_apply(model, x)
+    assert y.shape == (1, 576)

@@ -76,6 +76,7 @@ def train_network(
     ckpt_dir: str | None = None,
     data_parallel: bool = True,
     render_overlays: bool = True,
+    device_data: bool | None = None,
     verbose: int = 1,
 ):
     """Full training run; returns (state, model, history)."""
@@ -107,12 +108,31 @@ def train_network(
         if verbose:
             print(f"    data-parallel over {mesh.size} devices")
 
+    # device-resident dataset: keep the whole training set in HBM and
+    # gather minibatches by index inside the jitted step — zero per-step
+    # host->device traffic.  Default on for single-device runs that fit.
+    if device_data is None:
+        device_data = (
+            mesh is None
+            and train_ds.x.nbytes + val_ds.x.nbytes < 8 * 1024**3
+        )
     train_step = make_train_step(
         model, cfg.loss_weights, mc.loss_type, l2_reg=mc.l2_reg,
-        augment=tc.augment,
+        augment=tc.augment, indexed=device_data,
     )
     eval_step = make_eval_step(model, cfg.loss_weights, mc.loss_type)
     predict_fn = make_predict_step(model)
+
+    if device_data:
+        x_all = jax.device_put(jnp.asarray(train_ds.x))
+        y_all = jax.device_put(jnp.asarray(train_ds.y))
+        x_val_dev = jax.device_put(jnp.asarray(val_ds.x))
+        if verbose:
+            print(f"    device-resident dataset: "
+                  f"{(train_ds.x.nbytes + val_ds.x.nbytes) / 1e9:.2f} GB "
+                  f"in HBM")
+    else:
+        x_val_dev = val_ds.x
 
     log = LossLog(log_dir)
     history = []
@@ -125,12 +145,17 @@ def train_network(
             batches(n_train, tc.batch_size, shuffle=True,
                     seed=tc.seed + epoch)
         ):
-            xb = jnp.asarray(train_ds.x[idx])
-            yb = jnp.asarray(train_ds.y[idx])
-            if mesh is not None:
-                xb, yb = shard_batch(mesh, xb, yb)
             step_rng = jax.random.fold_in(rng, epoch * steps_per_epoch + bi)
-            state, metrics = train_step(state, xb, yb, step_rng)
+            if device_data:
+                state, metrics = train_step(
+                    state, x_all, y_all, jnp.asarray(idx), step_rng
+                )
+            else:
+                xb = jnp.asarray(train_ds.x[idx])
+                yb = jnp.asarray(train_ds.y[idx])
+                if mesh is not None:
+                    xb, yb = shard_batch(mesh, xb, yb)
+                state, metrics = train_step(state, xb, yb, step_rng)
             ep_loss += float(metrics["loss"])
             nb += 1
         ep_loss /= max(nb, 1)
@@ -149,10 +174,10 @@ def train_network(
 
         # ---- epoch-end diagnostics ----
         y_pred, fps = predict_in_batches(
-            predict_fn, state.params, state.batch_stats, val_ds.x,
+            predict_fn, state.params, state.batch_stats, x_val_dev,
             tc.batch_size, mesh=mesh, verbose=verbose > 1,
         )
-        _, comps = eval_step(state, jnp.asarray(val_ds.x[: tc.batch_size]),
+        _, comps = eval_step(state, jnp.asarray(x_val_dev[: tc.batch_size]),
                              jnp.asarray(val_ds.y[: tc.batch_size]))
         comps_np = {k: float(v) for k, v in comps.items()}
 

@@ -26,12 +26,35 @@ from spnet_tpu.ops.losses import loss_components, spnet_loss_pallas
 from spnet_tpu.train.state import TrainState
 
 
-def kernel_l2(params) -> jnp.ndarray:
+#: Which kernels the L2 penalty covers.  'reference' mirrors the layers
+#: the reference's add_regularization EFFECTIVELY touched (its JSON
+#: round-trip only re-attached the regularizer to the stem convs, the
+#: first backbone block and the final Dense — visible in the paper run
+#: logs' `model.losses` list of 10 tensors; with 'all', the ~21M-kernel
+#: Xception would contribute an L2 term ~15x the data loss).
+L2_SCOPES = ("reference", "all", "none")
+
+
+def kernel_l2(params, scope: str = "reference") -> jnp.ndarray:
     """Sum of squared conv/dense kernels (BN scales/biases excluded)."""
+    if scope == "none":
+        return jnp.zeros(())
     total = 0.0
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
-        if getattr(path[-1], "key", None) == "kernel":
-            total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+        if getattr(path[-1], "key", None) != "kernel":
+            continue
+        if scope == "reference":
+            top = getattr(path[0], "key", "")
+            second = getattr(path[1], "key", "") if len(path) > 1 else ""
+            in_scope = (
+                top in ("stem", "final_output", "sigmoid_output",
+                        "dense_output")
+                or (top == "backbone" and second in ("conv1", "conv2",
+                                                     "block2"))
+            )
+            if not in_scope:
+                continue
+        total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
     return total
 
 
@@ -42,10 +65,20 @@ def make_train_step(
     l2_reg: float = 1e-4,
     augment: bool = True,
     use_pallas_loss: bool = False,
+    l2_scope: str = "reference",
+    indexed: bool = False,
 ):
-    """Returns train_step(state, x, y, rng) -> (state, metrics)."""
+    """Returns train_step(state, x, y, rng) -> (state, metrics).
 
-    def train_step(state: TrainState, x, y, rng):
+    With `indexed=True` the signature becomes
+    train_step(state, x_all, y_all, idx, rng): the FULL dataset lives in
+    device HBM and each step gathers its minibatch on device — zero
+    per-step host->device traffic (the TPU-native replacement for host
+    batch feeding; the pristine x_all plays the role of the reference's
+    `X_orig` copy in AugmentOnTheFly, since augmentation is applied to
+    the gathered batch only)."""
+
+    def _core(state: TrainState, x, y, rng):
         aug_rng, dropout_rng = jax.random.split(rng)
         if augment:
             x = augment_on_the_fly(x, aug_rng)
@@ -65,8 +98,8 @@ def make_train_step(
                 data_loss = loss_components(y, out, loss_weights,
                                             loss_type)["total"]
             loss = data_loss
-            if l2_reg:
-                loss = loss + l2_reg * kernel_l2(params)
+            if l2_reg and l2_scope != "none":
+                loss = loss + l2_reg * kernel_l2(params, l2_scope)
             return loss, (updates["batch_stats"], data_loss)
 
         (loss, (new_stats, data_loss)), grads = jax.value_and_grad(
@@ -90,7 +123,14 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    if indexed:
+
+        def train_step_indexed(state, x_all, y_all, idx, rng):
+            return _core(state, x_all[idx], y_all[idx], rng)
+
+        return jax.jit(train_step_indexed, donate_argnums=(0,))
+
+    return jax.jit(_core, donate_argnums=(0,))
 
 
 def make_eval_step(model, loss_weights: LossWeights = LossWeights(),

@@ -159,30 +159,43 @@ def synthetic_dataset(
     seed: int = 0,
     input_size: int = 331,
     batch_size: int | None = None,
+    uint8: bool = True,
 ) -> Dataset:
     """In-memory synthetic dataset: generator -> arrays, no PNG round
-    trip.  Used by tests and the quick-start path."""
-    import jax
-    import jax.image
+    trip.  Rendering AND resizing stay fused on device; only the final
+    resized frames come back to the host — by default as uint8 (4x less
+    memory/transfer; the train/eval steps normalize uint8 inputs on the
+    fly)."""
+    import functools
 
-    from spnet_tpu.data.synth import generate_arrays
+    import jax
+    import jax.numpy as jnp
+
+    from spnet_tpu.data.synth import render_frames, sample_scene, \
+        scenes_to_arrays
     from spnet_tpu.grid import canonicalize_records
 
     grid = grid or GridSpec()
     if batch_size:
         num_frames = nearest_multiple(num_frames, batch_size)
-    xs, ys, files = [], [], []
-    for imgs, scenes in generate_arrays(num_frames, seed=seed):
-        arr = imgs.astype(np.float32)[..., None]
-        if input_size is not None:
-            arr = np.asarray(
-                jax.image.resize(
-                    jax.numpy.asarray(arr),
-                    (arr.shape[0], input_size, input_size, 1),
-                    method="linear",
-                )
+
+    @functools.partial(jax.jit, static_argnames=("size",))
+    def render_resized(arrays, size):
+        imgs = render_frames(arrays)  # (B, H, W) f32 in [0, 255]
+        if size is not None:
+            imgs = jax.image.resize(
+                imgs, (imgs.shape[0], size, size), method="linear"
             )
-        xs.append(((arr / 255.0) - 0.5) * 2.0)
+        return jnp.clip(imgs, 0, 255).astype(jnp.uint8)
+
+    xs, ys, files = [], [], []
+    gen_batch = 64
+    for b0 in range(0, num_frames, gen_batch):
+        nb = min(gen_batch, num_frames - b0)
+        scenes = [sample_scene(seed, b0 + i) for i in range(nb)]
+        xs.append(np.asarray(
+            render_resized(scenes_to_arrays(scenes), input_size)
+        )[..., None])
         recs = [canonicalize_records(np.array(s.caption_rows()).reshape(-1, 6))
                 for s in scenes]
         ys.append(normalize(batch_ellipses_to_grid(recs, grid), grid))
@@ -190,8 +203,11 @@ def synthetic_dataset(
         files.extend(
             f"synthetic://{seed}/{base + i}" for i in range(len(scenes))
         )
+    x = np.concatenate(xs)
+    if not uint8:
+        x = ((x.astype(np.float32) / 255.0) - 0.5) * 2.0
     return Dataset(
-        x=np.concatenate(xs).astype(np.float32),
+        x=x,
         y=np.concatenate(ys).astype(np.float32),
         file_list=files,
         grid=grid,

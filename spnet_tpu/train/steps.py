@@ -26,6 +26,14 @@ from spnet_tpu.ops.losses import loss_components, spnet_loss_pallas
 from spnet_tpu.train.state import TrainState
 
 
+def _prep_x(x):
+    """Datasets may be stored as uint8 (memory/bandwidth: see
+    data/dataset.py); normalize on device with the Inception scaling."""
+    if x.dtype == jnp.uint8:
+        return (x.astype(jnp.float32) / 255.0 - 0.5) * 2.0
+    return x
+
+
 #: Which kernels the L2 penalty covers.  'reference' mirrors the layers
 #: the reference's add_regularization EFFECTIVELY touched (its JSON
 #: round-trip only re-attached the regularizer to the stem convs, the
@@ -79,6 +87,7 @@ def make_train_step(
     the gathered batch only)."""
 
     def _core(state: TrainState, x, y, rng):
+        x = _prep_x(x)
         aug_rng, dropout_rng = jax.random.split(rng)
         if augment:
             x = augment_on_the_fly(x, aug_rng)
@@ -140,7 +149,7 @@ def make_eval_step(model, loss_weights: LossWeights = LossWeights(),
     def eval_step(state: TrainState, x, y):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            x,
+            _prep_x(x),
             train=False,
         )
         comps = loss_components(y, out, loss_weights, loss_type)
@@ -154,7 +163,8 @@ def make_predict_step(model):
 
     def predict(params: Any, batch_stats: Any, x):
         return model.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=False
+            {"params": params, "batch_stats": batch_stats}, _prep_x(x),
+            train=False,
         )
 
     return jax.jit(predict)

@@ -110,6 +110,11 @@ def test_synthetic_inmemory_dataset():
     ds = synthetic_dataset(16, cfg.grid, seed=3, input_size=64,
                            batch_size=8)
     assert ds.x.shape == (16, 64, 64, 1)
+    assert ds.x.dtype == np.uint8  # device-memory-friendly storage
     assert ds.y.shape == (16, cfg.grid.num_outputs)
-    assert np.isfinite(ds.x).all() and np.isfinite(ds.y).all()
-    assert -1.01 <= ds.x.min() and ds.x.max() <= 1.01
+    assert np.isfinite(ds.y).all()
+
+    ds32 = synthetic_dataset(8, cfg.grid, seed=3, input_size=64,
+                             uint8=False)
+    assert ds32.x.dtype == np.float32
+    assert -1.01 <= ds32.x.min() and ds32.x.max() <= 1.01

@@ -46,6 +46,9 @@ def main(argv=None):
     p.add_argument("-r", "--random_seed", type=int, default=1)
     p.add_argument("--no-eval", action="store_true",
                    help="skip the post-training evaluation")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler device trace of the run "
+                        "into <logdir>/profile")
     add_model_args(p)
     args = p.parse_args(argv)
 
@@ -67,9 +70,18 @@ def main(argv=None):
         input_size=cfg.model.input_size,
     )
 
-    state, model, history = train_network(
-        cfg, train_ds, val_ds, log_dir=log_dir, ckpt_dir=args.weights,
-    )
+    if args.profile:
+        from spnet_tpu.utils.profiling import trace
+
+        with trace(os.path.join(log_dir, "profile")):
+            state, model, history = train_network(
+                cfg, train_ds, val_ds, log_dir=log_dir,
+                ckpt_dir=args.weights,
+            )
+    else:
+        state, model, history = train_network(
+            cfg, train_ds, val_ds, log_dir=log_dir, ckpt_dir=args.weights,
+        )
 
     if not args.no_eval:
         print("\n----------------------------\nStarting model evaluation...")

@@ -118,7 +118,7 @@ def train_network(
         )
     train_step = make_train_step(
         model, cfg.loss_weights, mc.loss_type, l2_reg=mc.l2_reg,
-        augment=tc.augment, indexed=device_data,
+        augment=tc.augment, indexed="epoch" if device_data else False,
     )
     eval_step = make_eval_step(model, cfg.loss_weights, mc.loss_type)
     predict_fn = make_predict_step(model)
@@ -140,25 +140,36 @@ def train_network(
 
     for epoch in range(tc.epochs):
         t0 = time.time()
-        ep_loss, nb = 0.0, 0
-        for bi, idx in enumerate(
-            batches(n_train, tc.batch_size, shuffle=True,
-                    seed=tc.seed + epoch)
-        ):
-            step_rng = jax.random.fold_in(rng, epoch * steps_per_epoch + bi)
-            if device_data:
-                state, metrics = train_step(
-                    state, x_all, y_all, jnp.asarray(idx), step_rng
+        if device_data:
+            # single device program for the whole epoch
+            idx_mat = np.stack(list(
+                batches(n_train, tc.batch_size, shuffle=True,
+                        seed=tc.seed + epoch)
+            )).astype(np.int32)
+            nb = idx_mat.shape[0]
+            state, losses = train_step(
+                state, x_all, y_all, jnp.asarray(idx_mat),
+                jax.random.fold_in(rng, epoch),
+            )
+            ep_loss = float(jnp.mean(losses))
+        else:
+            loss_parts, nb = [], 0  # device scalars; sync once per epoch
+            for bi, idx in enumerate(
+                batches(n_train, tc.batch_size, shuffle=True,
+                        seed=tc.seed + epoch)
+            ):
+                step_rng = jax.random.fold_in(
+                    rng, epoch * steps_per_epoch + bi
                 )
-            else:
                 xb = jnp.asarray(train_ds.x[idx])
                 yb = jnp.asarray(train_ds.y[idx])
                 if mesh is not None:
                     xb, yb = shard_batch(mesh, xb, yb)
                 state, metrics = train_step(state, xb, yb, step_rng)
-            ep_loss += float(metrics["loss"])
-            nb += 1
-        ep_loss /= max(nb, 1)
+                loss_parts.append(metrics["loss"])
+                nb += 1
+            ep_loss = (float(np.mean(jax.device_get(loss_parts)))
+                       if nb else 0.0)
         train_time = time.time() - t0
         img_per_sec = nb * tc.batch_size / max(train_time, 1e-9)
 

@@ -132,6 +132,29 @@ def make_train_step(
         )
         return new_state, metrics
 
+    if indexed == "epoch":
+
+        def train_epoch(state, x_all, y_all, idx_mat, rng):
+            """One WHOLE epoch as a single device program: lax.scan over
+            the (steps, batch) index matrix — one host dispatch per
+            epoch instead of per step (dispatch latency dominates on
+            remote/tunneled devices)."""
+
+            def body(carry, inp):
+                st = carry
+                idx, i = inp
+                st, m = _core(st, x_all[idx], y_all[idx],
+                              jax.random.fold_in(rng, i))
+                return st, m["loss"]
+
+            steps = idx_mat.shape[0]
+            state, losses = jax.lax.scan(
+                body, state, (idx_mat, jnp.arange(steps))
+            )
+            return state, losses
+
+        return jax.jit(train_epoch, donate_argnums=(0,))
+
     if indexed:
 
         def train_step_indexed(state, x_all, y_all, idx, rng):

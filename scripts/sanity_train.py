@@ -29,11 +29,13 @@ def main():
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 15
     backbone = sys.argv[3] if len(sys.argv) > 3 else "Xception"
+    lr_max = float(sys.argv[4]) if len(sys.argv) > 4 else 2e-4
+    n_val = int(sys.argv[5]) if len(sys.argv) > 5 else 256
 
     cfg = ExperimentConfig(
         grid=GridSpec(),
         model=ModelConfig(backbone=backbone, input_size=331),
-        train=TrainConfig(batch_size=32, epochs=epochs, lr_max=2e-4,
+        train=TrainConfig(batch_size=32, epochs=epochs, lr_max=lr_max,
                           augment=True, save_every=1000, seed=0),
     )
     t0 = time.time()
@@ -41,7 +43,7 @@ def main():
     train_ds = synthetic_dataset(n_frames, cfg.grid, seed=0,
                                  input_size=cfg.model.input_size,
                                  batch_size=cfg.train.batch_size)
-    val_ds = synthetic_dataset(256, cfg.grid, seed=77,
+    val_ds = synthetic_dataset(n_val, cfg.grid, seed=777777,
                                input_size=cfg.model.input_size)
     print(f"  data ready in {time.time() - t0:.1f}s  "
           f"train {train_ds.x.shape}  val {val_ds.x.shape}")

@@ -189,7 +189,7 @@ def synthetic_dataset(
         return jnp.clip(imgs, 0, 255).astype(jnp.uint8)
 
     xs, ys, files = [], [], []
-    gen_batch = 64
+    gen_batch = 256
     for b0 in range(0, num_frames, gen_batch):
         nb = min(gen_batch, num_frames - b0)
         scenes = [sample_scene(seed, b0 + i) for i in range(nb)]

@@ -24,11 +24,15 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch", type=int, default=64,
                    help="frames per device render batch")
+    p.add_argument("--bandpass", default=None, metavar="REAL_DIR",
+                   help="directory of real frames; also emit *_bp.png "
+                        "variants with real low-frequency backgrounds")
     args = p.parse_args(argv)
 
     generate_dataset(
         args.datapath, args.numframes, seed=args.seed,
         train_only=not args.all, batch=args.batch,
+        bandpass=args.bandpass,
     )
 
 

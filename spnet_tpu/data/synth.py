@@ -417,6 +417,25 @@ def bandpass_mixup_batch(fake, real, seeds, low_width: int = 8):
 # ---------------------------------------------------------------------------
 # Dataset generation driver (files on disk, reference data contract)
 # ---------------------------------------------------------------------------
+def _load_real_pool(path: str, limit: int = 64) -> np.ndarray:
+    """Load up to `limit` real frames (grayscale, native 512x384) to act
+    as bandpass-mixup backgrounds (reference `augmentation.py:22`)."""
+    import glob
+
+    from PIL import Image
+
+    files = sorted(glob.glob(os.path.join(path, "*.png")))[:limit]
+    if not files:
+        raise ValueError(f"no real images found in {path} for bandpass")
+    out = []
+    for f in files:
+        img = Image.open(f).convert("L")
+        if img.size != (W, H):
+            img = img.resize((W, H))
+        out.append(np.asarray(img, np.float32))
+    return np.stack(out)
+
+
 def generate_dataset(
     out_dir: str,
     num_frames: int,
@@ -424,12 +443,16 @@ def generate_dataset(
     train_only: bool = True,
     batch: int = 64,
     frame_start: int = 0,
-    bandpass: bool = False,
+    bandpass: str | None = None,
     verbose: bool = True,
 ) -> None:
     """Write `steelpan_%07d.png` + `.csv` pairs under Train/ (and Val/ for
     the last 20% when not train_only — reference `gen_fake_espi.py:219-227`
-    splits by task index; we split by frame fraction, same 80/20 ratio)."""
+    splits by task index; we split by frame fraction, same 80/20 ratio).
+
+    bandpass: optional directory of REAL frames; when given, also writes
+    `*_bp.png` variants whose low-frequency background is swapped in from
+    a random real frame (reference `gen_fake_espi.py:271-275`)."""
     from PIL import Image
 
     train_dir = os.path.join(out_dir, "Train")
@@ -437,11 +460,26 @@ def generate_dataset(
     if not train_only:
         os.makedirs(os.path.join(out_dir, "Val"), exist_ok=True)
 
+    real_pool = None
+    if bandpass:
+        real_pool = _load_real_pool(bandpass)
+
     for b0 in range(0, num_frames, batch):
         nb = min(batch, num_frames - b0)
         scenes = [sample_scene(seed, frame_start + b0 + i) for i in range(nb)]
         arrays = scenes_to_arrays(scenes)
-        imgs = np.asarray(render_frames(arrays)).astype(np.uint8)
+        if real_pool is not None:
+            ridx = np.random.default_rng(seed + b0).integers(
+                0, real_pool.shape[0], nb
+            )
+            imgs_f, imgs_bp = render_frames(
+                arrays, bandpass=True, real_images=real_pool[ridx]
+            )
+            imgs = np.asarray(imgs_f).astype(np.uint8)
+            bps = np.asarray(imgs_bp).astype(np.uint8)
+        else:
+            imgs = np.asarray(render_frames(arrays)).astype(np.uint8)
+            bps = None
         for i, sc in enumerate(scenes):
             frame = frame_start + b0 + i
             frac = (b0 + i) / num_frames
@@ -449,9 +487,17 @@ def generate_dataset(
             prefix = os.path.join(
                 out_dir, sub, f"steelpan_{frame:07d}"
             )
+            caption = caption_from_records(sc.caption_rows())
             Image.fromarray(imgs[i], mode="L").save(prefix + ".png")
             with open(prefix + ".csv", "w") as f:
-                f.write(caption_from_records(sc.caption_rows()))
+                f.write(caption)
+            if bps is not None:
+                # the reference writes *_bp.png with NO metadata twin
+                # (`gen_fake_espi.py:275`), which breaks its own paired
+                # loader; we write the matching .csv as well.
+                Image.fromarray(bps[i], mode="L").save(prefix + "_bp.png")
+                with open(prefix + "_bp.csv", "w") as f:
+                    f.write(caption)
         if verbose:
             print(f"  generated {min(b0 + nb, num_frames)}/{num_frames}",
                   end="\r")

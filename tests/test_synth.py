@@ -99,3 +99,22 @@ def test_generate_dataset(tmp_path):
 
     arr = np.asarray(Image.open(imgs[0]))
     assert arr.shape == (384, 512)
+
+
+def test_generate_dataset_bandpass(tmp_path):
+    # first make a small "real" pool, then a bandpass-mixed set using it
+    real = str(tmp_path / "real")
+    generate_dataset(real, 2, seed=8, batch=2, verbose=False)
+    out = str(tmp_path / "bp")
+    generate_dataset(out, 2, seed=9, batch=2, verbose=False,
+                     bandpass=os.path.join(real, "Train"))
+    imgs, metas = paired_file_lists(os.path.join(out, "Train") + os.sep)
+    # each frame has a plain and a _bp variant, both with metadata
+    assert len(imgs) == 4
+    assert any("_bp.png" in f for f in imgs)
+    bp = [f for f in imgs if f.endswith("_bp.png")][0]
+    import numpy as np
+    from PIL import Image
+
+    arr = np.asarray(Image.open(bp))
+    assert arr.shape == (384, 512) and arr.std() > 10

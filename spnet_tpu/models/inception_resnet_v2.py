@@ -22,9 +22,10 @@ DT = jnp.bfloat16
 
 def _cbr(x, train, features, kernel=(1, 1), strides=(1, 1),
          padding="SAME", act=True, name=""):
+    # bn_scale=False: Keras IRv2 uses gamma-less BatchNorm throughout
     return ConvBN(features, kernel, strides=strides, padding=padding,
-                  act=nn.relu if act else None, name=name, dtype=DT)(
-                      x, train)
+                  act=nn.relu if act else None, bn_scale=False,
+                  name=name, dtype=DT)(x, train)
 
 
 class Block35(nn.Module):

@@ -25,6 +25,8 @@ class ConvBN(nn.Module):
     padding: str = "SAME"
     act: Callable | None = None
     use_bias: bool = False
+    #: Inception-ResNet-v2 uses gamma-less BatchNorm (Keras scale=False).
+    bn_scale: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -42,6 +44,7 @@ class ConvBN(nn.Module):
             use_running_average=not train,
             momentum=0.99,
             epsilon=1e-3,
+            use_scale=self.bn_scale,
             dtype=self.dtype,
             name="bn",
         )(x)

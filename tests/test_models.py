@@ -117,3 +117,33 @@ def test_darknet_backbone():
     x = jnp.zeros((1, 128, 128, 1), jnp.float32)
     y, _, _ = _init_and_apply(model, x)
     assert y.shape == (1, 576)
+
+
+@pytest.mark.slow
+def test_backbone_param_counts_match_keras():
+    """Architecture parity: total variable counts (params + batch stats)
+    equal keras.applications' count_params() EXACTLY for all three
+    backbones (verified against keras 3.13 / TF 2.21; values pinned here
+    so CI does not need TF)."""
+    import jax
+
+    from spnet_tpu.models.inception_resnet_v2 import InceptionResNetV2
+    from spnet_tpu.models.mobilenet import MobileNet
+    from spnet_tpu.models.xception import Xception
+
+    expected = {
+        "Xception": 20_861_480,
+        "MobileNet": 3_228_864,
+        "InceptionResNetV2": 54_336_736,
+    }
+    mods = {
+        "Xception": Xception(),
+        "MobileNet": MobileNet(),
+        "InceptionResNetV2": InceptionResNetV2(),
+    }
+    for name, mod in mods.items():
+        v = mod.init(jax.random.key(0), jnp.zeros((1, 160, 160, 3)),
+                     train=False)
+        n = sum(int(np.prod(l.shape))
+                for l in jax.tree_util.tree_leaves(v))
+        assert n == expected[name], (name, n, expected[name])

@@ -55,6 +55,11 @@ def _backbone_ctor(name: str, width_mult: float = 1.0):
         from spnet_tpu.models.darknet import DarkNet19
 
         return lambda mn: DarkNet19(name=mn), DarkNet19.LAYER_ORDER
+    if name == "NASNetMobile":
+        from spnet_tpu.models.nasnet import NASNetMobile
+
+        return (lambda mn: NASNetMobile(name=mn),
+                NASNetMobile.LAYER_ORDER)
     raise ValueError(f"unknown backbone {name!r}")
 
 

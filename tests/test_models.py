@@ -131,15 +131,19 @@ def test_backbone_param_counts_match_keras():
     from spnet_tpu.models.mobilenet import MobileNet
     from spnet_tpu.models.xception import Xception
 
+    from spnet_tpu.models.nasnet import NASNetMobile
+
     expected = {
         "Xception": 20_861_480,
         "MobileNet": 3_228_864,
         "InceptionResNetV2": 54_336_736,
+        "NASNetMobile": 4_269_716,
     }
     mods = {
         "Xception": Xception(),
         "MobileNet": MobileNet(),
         "InceptionResNetV2": InceptionResNetV2(),
+        "NASNetMobile": NASNetMobile(),
     }
     for name, mod in mods.items():
         v = mod.init(jax.random.key(0), jnp.zeros((1, 160, 160, 3)),
@@ -147,3 +151,11 @@ def test_backbone_param_counts_match_keras():
         n = sum(int(np.prod(l.shape))
                 for l in jax.tree_util.tree_leaves(v))
         assert n == expected[name], (name, n, expected[name])
+
+
+def test_nasnet_in_spnet():
+    model = SPNet(num_outputs=64, backbone="NASNetMobile",
+                  dtype=jnp.float32)
+    x = jnp.zeros((1, 96, 96, 1), jnp.float32)
+    y, _, _ = _init_and_apply(model, x)
+    assert y.shape == (1, 64)

@@ -94,3 +94,19 @@ def test_setup_data(tmp_path, dataset):
     vl, _ = paired_file_lists(os.path.join(out, "Val") + os.sep)
     assert len(tr) + len(vl) == n
     assert len(tr) > len(vl)
+
+
+@pytest.mark.slow
+def test_train_cli_inprocess(tmp_path, monkeypatch):
+    """The full `spnet_tpu train` surface, in-process on a tiny config."""
+    from spnet_tpu.cli.train import main as train_main
+
+    d = str(tmp_path / "d")
+    gen_main(["-d", d, "-n", "16", "--batch", "8", "--seed", "2", "-a"])
+    monkeypatch.chdir(tmp_path)
+    train_main([
+        "-d", d, "-e", "1", "-b", "4", "--backbone", "MobileNetTiny",
+        "--input_size", "64", "--dtype", "float32", "-w",
+        str(tmp_path / "ckpt"), "--no-eval",
+    ])
+    assert (tmp_path / "ckpt" / "experiment.json").exists()

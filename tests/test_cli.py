@@ -102,10 +102,10 @@ def test_train_cli_inprocess(tmp_path, monkeypatch):
     from spnet_tpu.cli.train import main as train_main
 
     d = str(tmp_path / "d")
-    gen_main(["-d", d, "-n", "16", "--batch", "8", "--seed", "2", "-a"])
+    gen_main(["-d", d, "-n", "24", "--batch", "8", "--seed", "2", "-a"])
     monkeypatch.chdir(tmp_path)
     train_main([
-        "-d", d, "-e", "1", "-b", "4", "--backbone", "MobileNetTiny",
+        "-d", d, "-e", "1", "-b", "2", "--backbone", "MobileNetTiny",
         "--input_size", "64", "--dtype", "float32", "-w",
         str(tmp_path / "ckpt"), "--no-eval",
     ])

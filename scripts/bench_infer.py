@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Inference-throughput benchmark (single chip): batched predict FPS on
+the flagship model, the reference's second headline number (500-513 FPS
+Titan X / ~725 FPS 2080 Ti, BASELINE.md).
+
+Usage: python scripts/bench_infer.py [batch_size] [n_frames]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spnet_tpu.config import GridSpec, ModelConfig
+    from spnet_tpu.models.spnet import build_model
+    from spnet_tpu.train.schedule import onecycle_schedule
+    from spnet_tpu.train.state import create_train_state
+    from spnet_tpu.train.steps import make_predict_step
+
+    grid = GridSpec()
+    mc = ModelConfig(backbone="Xception", input_size=331)
+    model = build_model(mc, num_outputs=grid.num_outputs)
+    state = create_train_state(
+        model, jax.random.key(0),
+        jnp.zeros((batch, mc.input_size, mc.input_size, 1)),
+        onecycle_schedule(4e-5, 10),
+    )
+    predict = make_predict_step(model)
+
+    rng = np.random.default_rng(0)
+    # device-resident uint8 frames (the movie-predict hot path)
+    x = jax.device_put(jnp.asarray(rng.integers(
+        0, 256, (n_frames, mc.input_size, mc.input_size, 1), np.uint8)))
+
+    # warmup
+    out = predict(state.params, state.batch_stats, x[:batch])
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    outs = []
+    for s in range(0, n_frames, batch):
+        outs.append(predict(state.params, state.batch_stats,
+                            x[s : s + batch]))
+    jax.block_until_ready(outs[-1])
+    elapsed = time.time() - t0
+    fps = n_frames / elapsed
+    print(json.dumps({
+        "metric": "inference_fps_per_chip",
+        "value": round(fps, 1),
+        "unit": f"frames/s (Xception 331x331 b{batch})",
+        "vs_baseline": round(fps / 725.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

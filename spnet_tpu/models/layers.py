@@ -114,3 +114,9 @@ class SeparableConvBN(nn.Module):
 
 def leaky_relu_01(x):
     return nn.leaky_relu(x, negative_slope=0.1)
+
+
+def mish(x):
+    """Mish activation, x * tanh(softplus(x)) — the reference keeps it as
+    an optional experiment (`/root/reference/spnet/models.py:74-98`)."""
+    return x * jnp.tanh(nn.softplus(x))

@@ -48,14 +48,23 @@ def main():
     print(f"  data ready in {time.time() - t0:.1f}s  "
           f"train {train_ds.x.shape}  val {val_ds.x.shape}")
 
+    ckpt = os.environ.get("SPNET_CKPT", "") or None
     state, model, history = train_network(
         cfg, train_ds, val_ds, log_dir="logs/sanity",
-        ckpt_dir=None, render_overlays=False, verbose=1,
+        ckpt_dir=ckpt, render_overlays=False, verbose=1,
     )
-    print(json.dumps({
+    out = {
         "first": history[0], "last": history[-1],
         "wall_s": round(time.time() - t0, 1),
-    }, default=float))
+    }
+    if os.environ.get("SPNET_MAP", "0") == "1":
+        from spnet_tpu.eval.evaluate import evaluate_network
+
+        res = evaluate_network(cfg, state, model, val_ds,
+                               log_dir="logs/sanity_eval/",
+                               num_draw=0, verbose=1)
+        out["final_eval"] = res
+    print(json.dumps(out, default=float))
 
 
 if __name__ == "__main__":

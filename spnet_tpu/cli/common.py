@@ -6,7 +6,6 @@ import argparse
 import os
 import time
 
-import jax
 import jax.numpy as jnp
 
 from spnet_tpu.config import (
@@ -17,8 +16,6 @@ from spnet_tpu.config import (
 )
 from spnet_tpu.io.checkpoint import load_checkpoint
 from spnet_tpu.models.spnet import build_model
-from spnet_tpu.train.schedule import onecycle_schedule
-from spnet_tpu.train.state import create_train_state
 
 
 def parse_grid(s: str) -> tuple[int, int, int]:
@@ -67,19 +64,23 @@ def config_from_args(args, grid_tuple=(6, 6, 2)) -> ExperimentConfig:
     )
 
 
+class InferenceState:
+    """Lightweight params/batch_stats holder for evaluate/predict — no
+    model re-initialization, no optimizer (the checkpoint already has
+    everything needed)."""
+
+    def __init__(self, params, batch_stats, step):
+        self.params = params
+        self.batch_stats = batch_stats
+        self.step = step
+
+
 def load_model_and_state(ckpt_dir: str):
     """Rebuild model + state from a checkpoint directory (the 'whole
     model load' path — config travels with the weights)."""
     payload, cfg = load_checkpoint(ckpt_dir)
     model = build_model(cfg.model, num_outputs=cfg.grid.num_outputs)
-    state = create_train_state(
-        model,
-        jax.random.key(0),
-        jnp.zeros((1, cfg.model.input_size, cfg.model.input_size, 1),
-                  jnp.float32),
-        onecycle_schedule(cfg.train.lr_max, 1),
-    )
-    state = state.replace(
+    state = InferenceState(
         params=payload["params"],
         batch_stats=payload["batch_stats"],
         step=jnp.asarray(payload["step"]),

@@ -118,3 +118,34 @@ def test_synthetic_inmemory_dataset():
                              uint8=False)
     assert ds32.x.dtype == np.float32
     assert -1.01 <= ds32.x.min() and ds32.x.max() <= 1.01
+
+
+@pytest.mark.slow
+def test_checkpoint_inference_roundtrip(tmp_path):
+    """Checkpoint -> load_model_and_state -> evaluate (the evaluate/
+    predict CLI path, which reconstructs everything from the checkpoint
+    alone — no hidden normalization state)."""
+    from spnet_tpu.cli.common import load_model_and_state
+    from spnet_tpu.io.checkpoint import save_checkpoint
+    from spnet_tpu.models.spnet import build_model
+    from spnet_tpu.train.schedule import onecycle_schedule
+    from spnet_tpu.train.state import create_train_state
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _tiny_cfg()
+    model = build_model(cfg.model, num_outputs=cfg.grid.num_outputs)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((2, 96, 96, 1)),
+        onecycle_schedule(1e-3, 10),
+    )
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, state, cfg)
+
+    cfg2, model2, inf_state = load_model_and_state(ckpt)
+    assert cfg2.grid == cfg.grid
+    ds = synthetic_dataset(8, cfg.grid, seed=5, input_size=96)
+    res = evaluate_network(cfg2, inf_state, model2, ds,
+                           log_dir=str(tmp_path / "ev") + os.sep,
+                           num_draw=0, compute_map=False, verbose=0)
+    assert np.isfinite(res["mean_pix_err"])

@@ -45,15 +45,15 @@ def main():
         0, 256, (n_frames, mc.input_size, mc.input_size, 1), np.uint8)))
 
     # warmup
-    out = predict(state.params, state.batch_stats, x[:batch])
-    jax.block_until_ready(out)
+    np.asarray(predict(state.params, state.batch_stats, x[:batch]))
 
+    # time to OUTPUT RETRIEVAL per batch (block_until_ready can ack
+    # early through remote-device relays); this is the honest end-to-end
+    # number including pulling predictions to the host.
     t0 = time.time()
-    outs = []
     for s in range(0, n_frames, batch):
-        outs.append(predict(state.params, state.batch_stats,
-                            x[s : s + batch]))
-    jax.block_until_ready(outs[-1])
+        np.asarray(predict(state.params, state.batch_stats,
+                           x[s : s + batch]))
     elapsed = time.time() - t0
     fps = n_frames / elapsed
     print(json.dumps({

@@ -23,7 +23,7 @@ import time
 BASELINE_IMG_PER_SEC = 126.6  # RTX 2080 Ti, BASELINE.md
 
 
-def main(batch_size: int = 32, steps_per_epoch: int = 512,
+def main(batch_size: int = 128, steps_per_epoch: int = 160,
          n_data: int = 2048, warmup_steps: int = 32) -> dict:
     import jax
     import jax.numpy as jnp

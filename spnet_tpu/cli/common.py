@@ -35,7 +35,8 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                    choices=["same", "hybrid"],
                    help="'same' = MSE existence, 'hybrid' = BCE logits")
     p.add_argument("--input_size", type=int, default=331,
-                   help="square input resolution")
+                   help="square input resolution; 0 = no resize, native "
+                        "512x384 frames (the reference's 'big' mode)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="compute dtype")

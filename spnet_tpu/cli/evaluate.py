@@ -31,7 +31,7 @@ def main(argv=None):
     ds = build_dataset(
         args.datapath, cfg.grid, load_frac=args.fraction,
         batch_size=args.batch_size, shuffle=False,
-        input_size=cfg.model.input_size,
+        input_size=cfg.model.input_size or None,
     )
     evaluate_network(cfg, state, model, ds, log_dir=args.logdir,
                      compute_map=not args.no_map)

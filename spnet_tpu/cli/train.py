@@ -62,12 +62,12 @@ def main(argv=None):
     train_ds = build_dataset(
         os.path.join(args.datapath, "Train"), cfg.grid,
         load_frac=args.fraction, batch_size=args.batch_size,
-        input_size=cfg.model.input_size, seed=args.random_seed,
+        input_size=cfg.model.input_size or None, seed=args.random_seed,
     )
     val_ds = build_dataset(
         os.path.join(args.datapath, "Val"), cfg.grid,
         batch_size=args.batch_size, shuffle=False,
-        input_size=cfg.model.input_size,
+        input_size=cfg.model.input_size or None,
     )
 
     if args.profile:
@@ -90,7 +90,7 @@ def main(argv=None):
             testpath = os.path.join(args.datapath, "Val")
         test_ds = build_dataset(
             testpath, cfg.grid, batch_size=args.batch_size, shuffle=False,
-            input_size=cfg.model.input_size,
+            input_size=cfg.model.input_size or None,
         )
         evaluate_network(cfg, state, model, test_ds,
                          log_dir="logs/Evaluation/")

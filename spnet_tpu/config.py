@@ -178,6 +178,8 @@ class ModelConfig:
     """
 
     backbone: str = "Xception"
+    #: Square input resolution; 0 = no resize (native 512x384 frames, the
+    #: reference's 'big' model_type — `/root/reference/spnet/config.py:47`).
     input_size: int = 331
     grayscale: bool = True
     loss_type: str = "same"

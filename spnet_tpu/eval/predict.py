@@ -48,7 +48,7 @@ def predict_network(
     if verbose:
         print(f"predicting on {len(files)} frames from {datapath}")
 
-    x = build_x(files, size=cfg.model.input_size)
+    x = build_x(files, size=cfg.model.input_size or None)
     predict_fn = make_predict_step(model)
     y_pred, fps = predict_in_batches(
         predict_fn, state.params, state.batch_stats, x, batch_size,

@@ -149,3 +149,53 @@ def test_checkpoint_inference_roundtrip(tmp_path):
                            log_dir=str(tmp_path / "ev") + os.sep,
                            num_draw=0, compute_map=False, verbose=0)
     assert np.isfinite(res["mean_pix_err"])
+
+
+@pytest.mark.slow
+def test_big_mode_native_resolution(tmp_path):
+    """The reference's 'big' model_type: no resize, native 512x384 input
+    (`/root/reference/spnet/config.py:47`).  The model is shape-generic;
+    input_size=0 in the config plumbs size=None through the loaders."""
+    cfg = ExperimentConfig(
+        grid=GridSpec(),
+        model=ModelConfig(backbone="MobileNetTiny", input_size=0,
+                          compute_dtype="float32"),
+        train=TrainConfig(batch_size=2, epochs=1, lr_max=1e-3,
+                          augment=False, seed=0),
+    )
+    data_dir = str(tmp_path / "d")
+    generate_dataset(data_dir, 4, seed=21, batch=4, verbose=False)
+    ds = build_dataset(os.path.join(data_dir, "Train"), cfg.grid,
+                       batch_size=2, input_size=None, seed=0)
+    assert ds.x.shape[1:] == (384, 512, 1)
+    state, model, hist = train_network(
+        cfg, ds, ds, log_dir=str(tmp_path / "logs"), ckpt_dir=None,
+        render_overlays=False, verbose=0,
+    )
+    assert np.isfinite(hist[-1]["train_loss"])
+
+
+@pytest.mark.slow
+def test_hybrid_loss_end_to_end(tmp_path):
+    """loss_type='hybrid': BCE-with-logits existence — the eval path must
+    sigmoid-decode noobj before denormalizing (reference
+    `evaluate_spnet.py:70-71`)."""
+    cfg = ExperimentConfig(
+        grid=GridSpec(),
+        model=ModelConfig(backbone="MobileNetTiny", input_size=64,
+                          loss_type="hybrid", compute_dtype="float32"),
+        train=TrainConfig(batch_size=8, epochs=2, lr_max=1e-3,
+                          augment=False, seed=0),
+    )
+    train_ds = synthetic_dataset(32, cfg.grid, seed=1, input_size=64,
+                                 batch_size=8)
+    val_ds = synthetic_dataset(16, cfg.grid, seed=2, input_size=64)
+    state, model, hist = train_network(
+        cfg, train_ds, val_ds, log_dir=str(tmp_path / "logs"),
+        ckpt_dir=None, render_overlays=False, verbose=0,
+    )
+    assert np.isfinite(hist[-1]["train_loss"])
+    res = evaluate_network(cfg, state, model, val_ds,
+                           log_dir=str(tmp_path / "ev") + os.sep,
+                           num_draw=0, compute_map=False, verbose=0)
+    assert np.isfinite(res["mean_pix_err"])

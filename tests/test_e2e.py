@@ -199,3 +199,27 @@ def test_hybrid_loss_end_to_end(tmp_path):
                            log_dir=str(tmp_path / "ev") + os.sep,
                            num_draw=0, compute_map=False, verbose=0)
     assert np.isfinite(res["mean_pix_err"])
+
+
+@pytest.mark.slow
+def test_frozen_phase_then_unfreeze(tmp_path):
+    """freeze_fac + frozen_epochs: early epochs train with the first
+    backbone fraction frozen, then the loop swaps to a fully-trainable
+    optimizer (reference `train_spnet.py:74-78`)."""
+    cfg = ExperimentConfig(
+        grid=GridSpec(),
+        model=ModelConfig(backbone="MobileNetTiny", input_size=64,
+                          compute_dtype="float32"),
+        train=TrainConfig(batch_size=8, epochs=3, lr_max=1e-3,
+                          augment=False, seed=0, freeze_fac=0.5,
+                          frozen_epochs=1),
+    )
+    train_ds = synthetic_dataset(16, cfg.grid, seed=1, input_size=64,
+                                 batch_size=8)
+    state, model, hist = train_network(
+        cfg, train_ds, train_ds, log_dir=str(tmp_path / "logs"),
+        ckpt_dir=None, render_overlays=False, verbose=0,
+    )
+    assert len(hist) == 3
+    assert int(state.step) == 3 * (16 // 8)
+    assert np.isfinite(hist[-1]["train_loss"])

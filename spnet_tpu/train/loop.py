@@ -138,7 +138,23 @@ def train_network(
     history = []
     frozen_left = tc.frozen_epochs if tc.freeze_fac > 0 else 0
 
-    for epoch in range(tc.epochs):
+    # resume mid-run: skip epochs already covered by the restored step
+    # counter (the 1-cycle schedule keys off state.step, so the LR
+    # continues exactly where it left off)
+    start_epoch = int(state.step) // max(steps_per_epoch, 1)
+    if start_epoch > 0:
+        if start_epoch >= tc.epochs:
+            print(f"    checkpoint already at epoch {start_epoch}; "
+                  f"nothing to train")
+        else:
+            print(f"    resuming at epoch {start_epoch + 1}/{tc.epochs}")
+        if tc.freeze_fac > 0 and start_epoch >= tc.frozen_epochs:
+            frozen_left = 0
+            state = unfreeze(state, model)
+            if mesh is not None:
+                state = replicate_state(mesh, state)
+
+    for epoch in range(start_epoch, tc.epochs):
         t0 = time.time()
         if device_data:
             # single device program for the whole epoch

@@ -223,3 +223,33 @@ def test_frozen_phase_then_unfreeze(tmp_path):
     assert len(hist) == 3
     assert int(state.step) == 3 * (16 // 8)
     assert np.isfinite(hist[-1]["train_loss"])
+
+
+@pytest.mark.slow
+def test_resume_continues_at_epoch(tmp_path):
+    """Elastic recovery: restarting the same run continues from the
+    checkpointed epoch instead of re-running from scratch."""
+    cfg = dataclasses.replace(
+        _tiny_cfg(),
+        train=TrainConfig(batch_size=8, epochs=4, lr_max=1e-3,
+                          augment=False, save_every=2, seed=0),
+    )
+    ds = synthetic_dataset(16, cfg.grid, seed=1, input_size=96,
+                           batch_size=8)
+    ckpt = str(tmp_path / "ck")
+    # phase 1: run 2 of 4 epochs (save_every=2 -> checkpoint at epoch 2)
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, epochs=2))
+    state1, _, h1 = train_network(cfg2, ds, ds,
+                                  log_dir=str(tmp_path / "l1"),
+                                  ckpt_dir=ckpt, render_overlays=False,
+                                  verbose=0)
+    assert int(state1.step) == 2 * 2  # 2 epochs x 2 steps
+
+    # phase 2: same run config asks for 4 epochs; resumes at epoch 3
+    state2, _, h2 = train_network(cfg, ds, ds,
+                                  log_dir=str(tmp_path / "l2"),
+                                  ckpt_dir=ckpt, render_overlays=False,
+                                  verbose=0)
+    assert len(h2) == 2  # only epochs 3 and 4 ran
+    assert int(state2.step) == 4 * 2

@@ -118,3 +118,39 @@ def test_generate_dataset_bandpass(tmp_path):
 
     arr = np.asarray(Image.open(bp))
     assert arr.shape == (384, 512) and arr.std() > 10
+
+
+def test_rendered_rings_match_label_ellipse():
+    """The ring pattern drawn for an antinode must lie INSIDE the labeled
+    ellipse (same -angle screen convention as the IoU rasterizer and the
+    overlay renderer) — guards against angle-sign mismatches between
+    generator pixels and labels."""
+    import jax
+    import jax.numpy as jnp
+
+    from spnet_tpu.data.synth import _render_antinode
+    from spnet_tpu.ops.raster import ellipse_mask_jit
+
+    ys = np.arange(384, dtype=np.float32)[:, None] * np.ones((1, 512),
+                                                             np.float32)
+    xs = np.ones((384, 1), np.float32) * np.arange(512,
+                                                   dtype=np.float32)[None]
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        cx, cy = rng.uniform(150, 350), rng.uniform(120, 260)
+        a, b = rng.uniform(60, 120), rng.uniform(30, 60)
+        ang = rng.uniform(1, 179)
+        rings = rng.integers(2, 6)
+        on, _color = jax.jit(_render_antinode)(
+            jnp.asarray(xs), jnp.asarray(ys), 1.0, cx, cy, a, b,
+            float(ang), float(rings), 0.0,
+        )
+        on = np.asarray(on)
+        label_mask = np.asarray(ellipse_mask_jit(
+            cx, cy, a * 1.05 + 2, b * 1.05 + 2,
+            float(-np.deg2rad(ang)),
+        ))
+        assert on.sum() > 200  # rings actually drawn
+        frac_inside = (on & label_mask).sum() / on.sum()
+        assert frac_inside > 0.99, (cx, cy, a, b, ang, rings,
+                                    frac_inside)

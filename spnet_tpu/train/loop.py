@@ -170,17 +170,39 @@ def train_network(
             ep_loss = float(jnp.mean(losses))
         else:
             loss_parts, nb = [], 0  # device scalars; sync once per epoch
-            for bi, idx in enumerate(
-                batches(n_train, tc.batch_size, shuffle=True,
-                        seed=tc.seed + epoch)
-            ):
+
+            def batch_stream():
+                """Host slices -> device, one batch ahead of compute
+                (device_put is async, so the next transfer overlaps the
+                current step)."""
+                for idx in batches(n_train, tc.batch_size, shuffle=True,
+                                   seed=tc.seed + epoch):
+                    xb = jnp.asarray(train_ds.x[idx])
+                    yb = jnp.asarray(train_ds.y[idx])
+                    if mesh is not None:
+                        xb, yb = shard_batch(mesh, xb, yb)
+                    yield xb, yb
+
+            import collections
+
+            queue = collections.deque()
+            stream = batch_stream()
+            for nxt in stream:
+                queue.append(nxt)
+                if len(queue) < 2:
+                    continue
+                xb, yb = queue.popleft()
                 step_rng = jax.random.fold_in(
-                    rng, epoch * steps_per_epoch + bi
+                    rng, epoch * steps_per_epoch + nb
                 )
-                xb = jnp.asarray(train_ds.x[idx])
-                yb = jnp.asarray(train_ds.y[idx])
-                if mesh is not None:
-                    xb, yb = shard_batch(mesh, xb, yb)
+                state, metrics = train_step(state, xb, yb, step_rng)
+                loss_parts.append(metrics["loss"])
+                nb += 1
+            while queue:
+                xb, yb = queue.popleft()
+                step_rng = jax.random.fold_in(
+                    rng, epoch * steps_per_epoch + nb
+                )
                 state, metrics = train_step(state, xb, yb, step_rng)
                 loss_parts.append(metrics["loss"])
                 nb += 1

@@ -36,6 +36,21 @@ def main() -> None:
         print(__doc__)
         raise SystemExit(0)
     cmd = sys.argv[1]
+    if cmd == "bench":
+        import importlib.util
+        import json
+        import os
+
+        import spnet_tpu
+
+        root = os.path.dirname(os.path.dirname(
+            os.path.abspath(spnet_tpu.__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(root, "bench.py"))
+        bench_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench_mod)
+        print(json.dumps(bench_mod.main()))
+        return
     if cmd not in _COMMANDS:
         print(f"unknown command {cmd!r}\n")
         print(__doc__)

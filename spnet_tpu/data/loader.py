@@ -14,6 +14,10 @@ import numpy as np
 
 
 def native_build_x(img_files: list[str], size: int | None):
+    # the native decoder handles (non-interlaced 8-bit) PNG only; any
+    # other format (e.g. the reference's .bmp movie frames) goes to PIL
+    if not all(f.lower().endswith(".png") for f in img_files):
+        return None
     try:
         from spnet_tpu.native import io as native_io
     except Exception:

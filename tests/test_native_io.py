@@ -50,3 +50,18 @@ def test_build_x_uses_native(pngs):
     a = build_x(pngs, size=96, verbose=False)
     b = native_io.load_images(pngs, size=96)
     np.testing.assert_allclose(a, b)
+
+
+def test_build_x_bmp_fallback(tmp_path, pngs):
+    """Non-PNG inputs (the reference supports .bmp movie frames) must
+    fall back to PIL, not be zero-filled by the native decoder."""
+    from PIL import Image
+
+    bmps = []
+    for i, p in enumerate(pngs[:2]):
+        bp = str(tmp_path / f"f{i}.bmp")
+        Image.open(p).save(bp)
+        bmps.append(bp)
+    x = build_x(bmps, size=96, verbose=False)
+    assert x.shape == (2, 96, 96, 1)
+    assert np.abs(x).mean() > 0.01  # actual pixels, not zero fill

@@ -46,6 +46,9 @@ def main(argv=None):
     p.add_argument("-r", "--random_seed", type=int, default=1)
     p.add_argument("--no-eval", action="store_true",
                    help="skip the post-training evaluation")
+    p.add_argument("--drop-overflow", action="store_true",
+                   help="tolerate >preds_per_cell ellipses in a grid "
+                        "cell (drop extras) instead of failing")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler device trace of the run "
                         "into <logdir>/profile")
@@ -59,15 +62,17 @@ def main(argv=None):
     log_dir = timestamped_log_dir(args.name)
     print("Logging to", log_dir)
 
+    ovf = "drop" if args.drop_overflow else "raise"
     train_ds = build_dataset(
         os.path.join(args.datapath, "Train"), cfg.grid,
         load_frac=args.fraction, batch_size=args.batch_size,
         input_size=cfg.model.input_size or None, seed=args.random_seed,
+        on_overflow=ovf,
     )
     val_ds = build_dataset(
         os.path.join(args.datapath, "Val"), cfg.grid,
         batch_size=args.batch_size, shuffle=False,
-        input_size=cfg.model.input_size or None,
+        input_size=cfg.model.input_size or None, on_overflow=ovf,
     )
 
     if args.profile:

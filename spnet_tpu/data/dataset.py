@@ -86,16 +86,25 @@ def build_x(
 
 
 def build_y(
-    meta_files: list[str], grid: GridSpec, img_files: list[str] | None = None
+    meta_files: list[str], grid: GridSpec,
+    img_files: list[str] | None = None, on_overflow: str = "raise",
 ) -> np.ndarray:
-    """Parse all metadata, encode to the grid, normalize."""
+    """Parse all metadata, encode to the grid, normalize.
+
+    on_overflow='drop' tolerates cells with more ellipses than predictor
+    slots (can happen on heavily augmented data); default matches the
+    reference's hard assert."""
     recs = []
     for i, mf in enumerate(meta_files):
         try:
             recs.append(parse_meta_file(mf))
         except Exception as e:  # surface the offending file
             raise ValueError(f"failed parsing {mf}: {e}") from e
-    flat = batch_ellipses_to_grid(recs, grid)
+    try:
+        flat = batch_ellipses_to_grid(recs, grid, on_overflow)
+    except Exception as e:
+        raise ValueError(f"grid encoding failed in {meta_files[0]}..: {e}"
+                         ) from e
     return normalize(flat, grid).astype(np.float32)
 
 
@@ -108,6 +117,7 @@ def build_dataset(
     input_size: int = 331,
     seed: int | None = None,
     cache: bool = False,
+    on_overflow: str = "raise",
 ) -> Dataset:
     """Load a Train/Val/Test directory into a Dataset."""
     grid = grid or GridSpec()
@@ -131,7 +141,7 @@ def build_dataset(
     img_files, meta_files = img_files[:total], meta_files[:total]
 
     cache_path = os.path.join(path, f".x_cache_{input_size}.npz")
-    y = build_y(meta_files, grid, img_files)
+    y = build_y(meta_files, grid, img_files, on_overflow=on_overflow)
     if cache and not shuffle and os.path.exists(cache_path):
         x = np.load(cache_path)["x"]
         if x.shape[0] != total:

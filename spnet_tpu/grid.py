@@ -91,7 +91,9 @@ def canonicalize_records(raw: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Grid assignment (encode)
 # ---------------------------------------------------------------------------
-def ellipses_to_grid(records: np.ndarray, grid: GridSpec) -> np.ndarray:
+def ellipses_to_grid(
+    records: np.ndarray, grid: GridSpec, on_overflow: str = "raise"
+) -> np.ndarray:
     """Assign canonical ellipse records of one image to the predictor grid.
 
     Mirrors `true_to_pred_grid` (`utils.py:191-244`): each record lands in
@@ -99,7 +101,10 @@ def ellipses_to_grid(records: np.ndarray, grid: GridSpec) -> np.ndarray:
     slots in order; empty slots keep `grid.defaults`.
 
     Returns an un-normalized array of shape grid.pred_shape (float32).
-    Raises GridOverflowError if a cell receives more records than slots.
+    on_overflow: 'raise' -> GridOverflowError when a cell receives more
+    records than slots (the reference's assert, `utils.py:240`);
+    'drop' -> silently skip the extra record (useful for heavily
+    augmented data where rotations/translations can crowd a cell).
     """
     g = grid.defaults.copy()
     counts = np.zeros((grid.nx, grid.ny), dtype=np.int64)
@@ -110,9 +115,12 @@ def ellipses_to_grid(records: np.ndarray, grid: GridSpec) -> np.ndarray:
         ix = min(max(ix, 0), grid.nx - 1)
         iy = min(max(iy, 0), grid.ny - 1)
         if counts[ix, iy] >= grid.preds_per_cell:
+            if on_overflow == "drop":
+                continue
             raise GridOverflowError(
                 f"cell ({ix},{iy}) already holds {counts[ix, iy]} ellipses; "
-                f"increase preds_per_cell (currently {grid.preds_per_cell})"
+                f"increase preds_per_cell (currently {grid.preds_per_cell}) "
+                f"or encode with on_overflow='drop'"
             )
         g[ix, iy, counts[ix, iy]] = rec
         counts[ix, iy] += 1
@@ -120,13 +128,14 @@ def ellipses_to_grid(records: np.ndarray, grid: GridSpec) -> np.ndarray:
 
 
 def batch_ellipses_to_grid(
-    record_lists: list[np.ndarray], grid: GridSpec
+    record_lists: list[np.ndarray], grid: GridSpec,
+    on_overflow: str = "raise",
 ) -> np.ndarray:
     """Encode a batch of images' records. Returns (B, num_outputs) float32
     (un-normalized, flattened like the reference's Y)."""
     out = np.zeros((len(record_lists), grid.num_outputs), dtype=np.float32)
     for i, recs in enumerate(record_lists):
-        out[i] = ellipses_to_grid(recs, grid).reshape(-1)
+        out[i] = ellipses_to_grid(recs, grid, on_overflow).reshape(-1)
     return out
 
 

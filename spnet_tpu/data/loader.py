@@ -10,7 +10,6 @@ sharedctypes image reader (`/root/reference/spnet/utils.py:323-421`).
 
 from __future__ import annotations
 
-import numpy as np
 
 
 def native_build_x(img_files: list[str], size: int | None):

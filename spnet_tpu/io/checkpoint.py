@@ -17,7 +17,6 @@ raises when nothing can be loaded.
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import numpy as np

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from spnet_tpu.config import ModelConfig
-from spnet_tpu.models.layers import ConvBN, leaky_relu_01
+from spnet_tpu.models.layers import leaky_relu_01
 from spnet_tpu.models.mobilenet import MobileNet
 from spnet_tpu.models.xception import Xception
 from spnet_tpu.ops.activations import selective_sigmoid_jnp

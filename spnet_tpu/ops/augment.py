@@ -23,7 +23,6 @@ the reference's train-time blur a silent no-op; ours actually blurs.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

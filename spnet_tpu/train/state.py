@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from spnet_tpu.config import TrainConfig
+
 from spnet_tpu.models.spnet import SPNet
 
 

@@ -14,7 +14,6 @@ penalty over all 'kernel' leaves added to the loss.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

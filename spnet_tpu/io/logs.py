@@ -20,13 +20,14 @@ class LossLog:
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, "losses.dat")
+        self.jsonl_path = os.path.join(log_dir, "metrics.jsonl")
         self.history: list[dict] = []
         with open(self.path, "a") as f:
             f.write("# epoch Train_total Val_total center size angle "
                     "noobj class\n")
 
     def append(self, epoch: int, train_total: float, val_comps: dict,
-               class_acc: float) -> None:
+               class_acc: float, extra: dict | None = None) -> None:
         row = {
             "epoch": epoch,
             "train": train_total,
@@ -45,6 +46,12 @@ class LossLog:
                 f"{row['size']} {row['angle']} {row['noobj']} "
                 f"{row['rings']}\n"
             )
+        # machine-readable twin (the modern analogue of the reference's
+        # optional TensorBoard summaries, `callbacks.py:88-90,239-248`)
+        import json
+
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps({**row, **(extra or {})}) + "\n")
 
 
 def _obj_centroids(y: np.ndarray, limit: int):

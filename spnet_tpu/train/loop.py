@@ -239,7 +239,16 @@ def train_network(
         yv = denormalize(val_ds.y, grid)
         yp = denormalize(y_pred, grid)
         st = calc_errors(yp, yv)
-        log.append(epoch, ep_loss, comps_np, st.class_acc)
+        log.append(
+            epoch, ep_loss, comps_np, st.class_acc,
+            extra={
+                "ring_acc": st.ring_acc,
+                "mean_pix_err": st.mean_pix_err,
+                "img_per_sec": img_per_sec,
+                "val_fps": fps,
+                "lr": float(state.schedule(state.step)),
+            },
+        )
         history.append(
             {
                 "epoch": epoch,

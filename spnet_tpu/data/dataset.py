@@ -46,7 +46,7 @@ def load_image(path: str, size: int | None, grayscale: bool = True
     from PIL import Image
 
     img = Image.open(path)
-    if size is not None and img.size != (size, size):
+    if size and img.size != (size, size):  # size 0/None = native resolution
         # BOX = area averaging, matching the native C++ loader's resample
         img = img.resize((size, size), Image.BOX)
     arr = np.asarray(img, dtype=np.float32)
@@ -186,13 +186,14 @@ def synthetic_dataset(
     from spnet_tpu.grid import canonicalize_records
 
     grid = grid or GridSpec()
+    input_size = input_size or None  # 0 -> native resolution
     if batch_size:
         num_frames = nearest_multiple(num_frames, batch_size)
 
     @functools.partial(jax.jit, static_argnames=("size",))
     def render_resized(arrays, size):
         imgs = render_frames(arrays)  # (B, H, W) f32 in [0, 255]
-        if size is not None:
+        if size:  # 0/None = the 'big' native-resolution convention
             imgs = jax.image.resize(
                 imgs, (imgs.shape[0], size, size), method="linear"
             )

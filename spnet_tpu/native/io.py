@@ -43,13 +43,14 @@ def _ensure_built() -> bool:
             return False
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-        lib.spnet_load_images.restype = ctypes.c_int
-        lib.spnet_load_images.argtypes = [
+        lib.spnet_load_images_status.restype = ctypes.c_int
+        lib.spnet_load_images_status.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int,
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.spnet_png_dims.restype = ctypes.c_int
         lib.spnet_png_dims.argtypes = [
@@ -96,11 +97,22 @@ def load_images(paths: list[str], size: int | None,
         out = np.zeros((n, size, size, 1), np.float32)
         size_arg = size
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    ok = _lib.spnet_load_images(
+    status = np.zeros(n, np.uint8)
+    ok = _lib.spnet_load_images_status(
         arr, n, size_arg,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     if ok != n:
-        print(f"[spnet_tpu.native] warning: {n - ok}/{n} images failed to "
-              f"decode (zero-filled)")
+        # PNG variants outside the native subset (palette, 16-bit,
+        # interlaced) or corrupt files: retry through PIL rather than
+        # training on silently zero-filled frames paired with real labels.
+        failed = np.flatnonzero(status == 0)
+        print(f"[spnet_tpu.native] {len(failed)}/{n} images outside the "
+              f"native decode subset; retrying via PIL")
+        from spnet_tpu.data.dataset import load_image
+
+        for i in failed:
+            out[i] = load_image(paths[i], None if size_arg == 0 else
+                                size_arg)
     return out

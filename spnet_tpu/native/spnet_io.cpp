@@ -70,6 +70,7 @@ bool decode_png(const std::string& path, Image* out) {
     const uint8_t* data = &buf[pos + 8];
     if (pos + 12 + len > size_t(sz)) return false;
     if (memcmp(type, "IHDR", 4) == 0) {
+      if (len < 13) return false;  // truncated IHDR: fields below read 13 bytes
       w = read_be32(data);
       h = read_be32(data + 4);
       bit_depth = data[8];
@@ -177,10 +178,12 @@ extern "C" {
 // Decode + resize + normalize n images into out (n * size * size floats).
 // size <= 0 keeps native resolution (all images must share it; the first
 // image defines it).  Returns the number of successfully loaded images;
-// failed slots are zero-filled.
-int spnet_load_images(const char** paths, int n, int size, float* out,
-                      int n_threads) {
+// failed slots are zero-filled and, when `status` is non-null, marked 0
+// in status[i] (1 = decoded) so the caller can retry them elsewhere.
+int spnet_load_images_status(const char** paths, int n, int size, float* out,
+                             int n_threads, uint8_t* status) {
   if (n <= 0) return 0;
+  if (status) memset(status, 0, n);
   std::atomic<int> next(0), ok(0);
   if (n_threads <= 0) n_threads = int(std::thread::hardware_concurrency());
   if (n_threads <= 0) n_threads = 1;
@@ -205,6 +208,7 @@ int spnet_load_images(const char** paths, int n, int size, float* out,
         if (good) {
           resize_norm(img, out_size, dst);
           ok.fetch_add(1);
+          if (status) status[i] = 1;
         } else {
           memset(dst, 0, sizeof(float) * out_size * out_size);
         }
@@ -216,6 +220,7 @@ int spnet_load_images(const char** paths, int n, int size, float* out,
                      * 2.0f;
           }
           ok.fetch_add(1);
+          if (status) status[i] = 1;
         } else {
           memset(dst, 0, sizeof(float) * native_w * native_h);
         }
@@ -226,6 +231,12 @@ int spnet_load_images(const char** paths, int n, int size, float* out,
   for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return ok.load();
+}
+
+// Back-compat ABI without per-file status.
+int spnet_load_images(const char** paths, int n, int size, float* out,
+                      int n_threads) {
+  return spnet_load_images_status(paths, n, size, out, n_threads, nullptr);
 }
 
 // Probe the dimensions of one PNG.  Returns 0 on success.

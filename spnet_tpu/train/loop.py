@@ -148,11 +148,15 @@ def train_network(
                   f"nothing to train")
         else:
             print(f"    resuming at epoch {start_epoch + 1}/{tc.epochs}")
-        if tc.freeze_fac > 0 and start_epoch >= tc.frozen_epochs:
-            frozen_left = 0
-            state = unfreeze(state, model)
-            if mesh is not None:
-                state = replicate_state(mesh, state)
+        if tc.freeze_fac > 0:
+            # completed frozen epochs stay completed across the resume:
+            # only the remainder of the frozen phase is left, and the
+            # backbone is unfrozen immediately if the phase already ended
+            frozen_left = max(tc.frozen_epochs - start_epoch, 0)
+            if frozen_left == 0:
+                state = unfreeze(state, model)
+                if mesh is not None:
+                    state = replicate_state(mesh, state)
 
     for epoch in range(start_epoch, tc.epochs):
         t0 = time.time()

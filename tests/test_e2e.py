@@ -253,3 +253,45 @@ def test_resume_continues_at_epoch(tmp_path):
                                   verbose=0)
     assert len(h2) == 2  # only epochs 3 and 4 ran
     assert int(state2.step) == 4 * 2
+
+
+@pytest.mark.slow
+def test_resume_mid_frozen_phase_unfreezes_on_schedule(tmp_path):
+    """Resuming inside the frozen phase must count the completed frozen
+    epochs (frozen_left = frozen_epochs - start_epoch, not the full
+    frozen_epochs): with frozen_epochs=2, a run interrupted after epoch 1
+    and resumed for epochs 2-3 must unfreeze after epoch 2, so the frozen
+    backbone params MUST have trained by the end of epoch 3."""
+
+    def cfg_for(epochs):
+        return ExperimentConfig(
+            grid=GridSpec(),
+            model=ModelConfig(backbone="MobileNetTiny", input_size=64,
+                              compute_dtype="float32"),
+            train=TrainConfig(batch_size=8, epochs=epochs, lr_max=1e-3,
+                              augment=False, save_every=1, seed=0,
+                              freeze_fac=0.5, frozen_epochs=2),
+        )
+
+    ds = synthetic_dataset(16, GridSpec(), seed=1, input_size=64,
+                           batch_size=8)
+
+    # interrupted: 1 epoch (mid-frozen-phase checkpoint) ...
+    ck = str(tmp_path / "ck")
+    train_network(cfg_for(1), ds, ds, log_dir=str(tmp_path / "l1"),
+                  ckpt_dir=ck, render_overlays=False, verbose=0)
+    payload, _ = load_checkpoint(ck)
+    frozen_kernel_before = np.asarray(
+        payload["params"]["backbone"]["conv1"]["conv"]["kernel"])
+
+    # ... then resume for epochs 2-3 (one more frozen epoch, then train)
+    state, _, _ = train_network(
+        cfg_for(3), ds, ds, log_dir=str(tmp_path / "l2"),
+        ckpt_dir=ck, render_overlays=False, verbose=0)
+    assert int(state.step) == 3 * 2
+    frozen_kernel_after = np.asarray(
+        state.params["backbone"]["conv1"]["conv"]["kernel"])
+    # the buggy behavior (frozen_left reset to the full frozen_epochs)
+    # keeps the backbone frozen through epochs 2 AND 3 -> identical kernel
+    assert not np.allclose(frozen_kernel_before, frozen_kernel_after), \
+        "backbone never unfroze after mid-frozen-phase resume"

@@ -65,3 +65,33 @@ def test_build_x_bmp_fallback(tmp_path, pngs):
     x = build_x(bmps, size=96, verbose=False)
     assert x.shape == (2, 96, 96, 1)
     assert np.abs(x).mean() > 0.01  # actual pixels, not zero fill
+
+
+def test_unsupported_png_retried_via_pil(tmp_path, pngs):
+    """Palette-mode PNGs are outside the native decode subset; they must
+    come back through the PIL retry path with real pixels, not silent
+    zero fill."""
+    from PIL import Image
+
+    pal = str(tmp_path / "pal.png")
+    Image.open(pngs[0]).convert("P").save(pal)
+    batch = [pngs[1], pal, pngs[2]]
+    x = native_io.load_images(batch, size=96)
+    ref = np.stack([load_image(p, 96) for p in batch])
+    assert np.abs(x[1]).mean() > 0.01  # not zero-filled
+    assert np.abs(x[1] - ref[1]).mean() < 0.02
+
+
+def test_truncated_ihdr_rejected_cleanly(tmp_path, pngs):
+    """A PNG whose IHDR chunk claims length 0 must fail decode (and fall
+    through to PIL, which also rejects it -> caller sees the exception),
+    not read past the buffer."""
+    import struct
+
+    raw = open(pngs[0], "rb").read()
+    # signature + zero-length IHDR chunk, then EOF
+    bad = raw[:8] + struct.pack(">I", 0) + b"IHDR" + b"\0\0\0\0"
+    p = str(tmp_path / "trunc.png")
+    open(p, "wb").write(bad)
+    with pytest.raises(Exception):
+        native_io.load_images([p], size=96)

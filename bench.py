@@ -30,7 +30,7 @@ def main(batch_size: int = 128, steps_per_epoch: int = 160,
     import numpy as np
 
     from spnet_tpu.config import GridSpec, LossWeights, ModelConfig
-    from spnet_tpu.grid import normalize
+    from spnet_tpu.data.dataset import synthetic_dataset
     from spnet_tpu.models.spnet import build_model
     from spnet_tpu.train.schedule import onecycle_schedule
     from spnet_tpu.train.state import create_train_state
@@ -41,12 +41,13 @@ def main(batch_size: int = 128, steps_per_epoch: int = 160,
     model = build_model(mc, num_outputs=grid.num_outputs)
 
     rng = np.random.default_rng(0)
-    # device-resident dataset (uint8) + normalized grid targets
-    x_all = jax.device_put(jnp.asarray(rng.integers(
-        0, 256, (n_data, mc.input_size, mc.input_size, 1), np.uint8)))
-    y_all = jax.device_put(jnp.asarray(normalize(
-        np.tile(grid.defaults.reshape(-1), (n_data, 1)), grid
-    ).astype(np.float32)))
+    # device-resident dataset: REAL synthetic ESPI frames with real grid
+    # targets (the reference's Dataset-A workload), stored uint8
+    ds = synthetic_dataset(n_data, grid, seed=0,
+                           input_size=mc.input_size,
+                           batch_size=batch_size)
+    x_all = jax.device_put(jnp.asarray(ds.x))
+    y_all = jax.device_put(jnp.asarray(ds.y))
 
     sched = onecycle_schedule(4e-5, total_steps=100_000)
     state = create_train_state(

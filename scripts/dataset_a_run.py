@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Dataset-A-recipe validation run (the accuracy-parity workload).
+
+Reproduces the reference's headline run EXACTLY at the recipe level
+(`/root/reference/paper/run_logs/log_DatasetA_*`): 40,960 synthetic
+frames/epoch (reference: 40,000), Xception, 331x331 grayscale, 6x6x2
+grid, batch 16, lr_max 4e-5 1-cycle, MSE ('same') loss, 100 epochs,
+train-time cutout + salt&pepper (the reference's blur is a silent no-op,
+so blur_prob=0).  Val = 4,992 frames like the reference's val split.
+
+Usage: python scripts/dataset_a_run.py [epochs] [batch] [lr_max] [n_train]
+Writes logs to logs/dataset_a/ and checkpoints to SPNET_CKPT (optional).
+Ends with a full evaluation (mAP included).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from spnet_tpu.config import (
+    ExperimentConfig,
+    GridSpec,
+    ModelConfig,
+    TrainConfig,
+)
+from spnet_tpu.data.dataset import synthetic_dataset
+from spnet_tpu.train.loop import train_network
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    lr_max = float(sys.argv[3]) if len(sys.argv) > 3 else 4e-5
+    n_train = int(sys.argv[4]) if len(sys.argv) > 4 else 40960
+    n_val = 4992
+
+    cfg = ExperimentConfig(
+        grid=GridSpec(),
+        model=ModelConfig(backbone="Xception", input_size=331),
+        train=TrainConfig(batch_size=batch, epochs=epochs, lr_max=lr_max,
+                          augment=True, blur_prob=0.0, save_every=10,
+                          seed=0),
+    )
+    t0 = time.time()
+    print(f"generating {n_train} train + {n_val} val synthetic frames...")
+    train_ds = synthetic_dataset(n_train, cfg.grid, seed=0,
+                                 input_size=cfg.model.input_size,
+                                 batch_size=batch)
+    val_ds = synthetic_dataset(n_val, cfg.grid, seed=777777,
+                               input_size=cfg.model.input_size)
+    print(f"  data ready in {time.time() - t0:.1f}s  "
+          f"train {train_ds.x.shape}  val {val_ds.x.shape}", flush=True)
+
+    ckpt = os.environ.get("SPNET_CKPT", "") or None
+    state, model, history = train_network(
+        cfg, train_ds, val_ds, log_dir="logs/dataset_a",
+        ckpt_dir=ckpt, render_overlays=False, verbose=1,
+    )
+    out = {
+        "last": history[-1],
+        "last10_ring_acc": sum(h["ring_acc"] for h in history[-10:]) / 10,
+        "wall_s": round(time.time() - t0, 1),
+    }
+
+    from spnet_tpu.eval.evaluate import evaluate_network
+
+    res = evaluate_network(cfg, state, model, val_ds,
+                           log_dir="logs/dataset_a_eval/",
+                           num_draw=0, verbose=1)
+    out["final_eval"] = res
+    print("DATASET_A_RESULT " + json.dumps(out, default=float), flush=True)
+
+
+if __name__ == "__main__":
+    main()

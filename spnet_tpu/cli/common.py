@@ -29,7 +29,8 @@ def parse_grid(s: str) -> tuple[int, int, int]:
 def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--backbone", default="Xception",
                    choices=["Xception", "MobileNet", "MobileNetTiny",
-                            "InceptionResNetV2"],
+                            "InceptionResNetV2", "NASNetMobile",
+                            "DarkNet19"],
                    help="CNN backbone")
     p.add_argument("--loss_type", default="same",
                    choices=["same", "hybrid"],
@@ -61,6 +62,7 @@ def config_from_args(args, grid_tuple=(6, 6, 2)) -> ExperimentConfig:
             fraction=getattr(args, "fraction", 1.0),
             seed=getattr(args, "random_seed", 1),
             augment=not getattr(args, "noaugment", False),
+            blur_prob=getattr(args, "blur_prob", 0.0),
         ),
     )
 

@@ -27,12 +27,18 @@ def main(argv=None):
     p.add_argument("--bandpass", default=None, metavar="REAL_DIR",
                    help="directory of real frames; also emit *_bp.png "
                         "variants with real low-frequency backgrounds")
+    p.add_argument("--hybrid", action="store_true",
+                   help="reproduce the reference's older hybrid generator "
+                        "(gen_fake_espi_hybrid.py): 0-6 antinodes/frame "
+                        "with all-zeros captions for empty frames, blur "
+                        "kernel {3,5}, no pixel dropout")
     args = p.parse_args(argv)
 
     generate_dataset(
         args.datapath, args.numframes, seed=args.seed,
         train_only=not args.all, batch=args.batch,
         bandpass=args.bandpass,
+        variant="hybrid" if args.hybrid else "primary",
     )
 
 

@@ -42,10 +42,19 @@ def main(argv=None):
                    help="checkpoint directory (auto-resume if present)")
     p.add_argument("-l", "--lrmax", type=float, default=4e-5)
     p.add_argument("-n", "--noaugment", action="store_true")
+    p.add_argument("--blur_prob", type=float, default=0.0,
+                   help="train-time Gaussian-blur probability (the "
+                        "reference's train-time blur is a silent no-op, "
+                        "so 0 matches its effective recipe)")
     p.add_argument("--name", default="")
     p.add_argument("-r", "--random_seed", type=int, default=1)
     p.add_argument("--no-eval", action="store_true",
                    help="skip the post-training evaluation")
+    p.add_argument("--predict_dir", default="",
+                   help="after evaluation, run label-free prediction over "
+                        "this directory (the reference chains predict "
+                        "over Zooniverse data, train_spnet.py:141-143); "
+                        "skipped when empty or missing")
     p.add_argument("--drop-overflow", action="store_true",
                    help="tolerate >preds_per_cell ellipses in a grid "
                         "cell (drop extras) instead of failing")
@@ -99,6 +108,29 @@ def main(argv=None):
         )
         evaluate_network(cfg, state, model, test_ds,
                          log_dir="logs/Evaluation/")
+
+    # chain label-free prediction over real data (reference
+    # `train_spnet.py:141-143` predicts over the Zooniverse set)
+    if args.predict_dir:
+        if os.path.isdir(args.predict_dir):
+            print("\n----------------------------\n"
+                  "Starting prediction...")
+            from spnet_tpu.eval.predict import predict_network
+
+            predict_network(cfg, state, model, args.predict_dir,
+                            log_dir=os.path.join(log_dir, "predict") +
+                            os.sep, batch_size=args.batch_size)
+        else:
+            print(f"(predict skipped: {args.predict_dir} not found)")
+
+    # final artifacts into the log dir (reference `train_spnet.py:145-152`
+    # saves final weights + whole model and copies them alongside the logs;
+    # here the checkpoint carries weights AND config)
+    from spnet_tpu.io.checkpoint import save_checkpoint
+
+    final_dir = os.path.join(log_dir, "final_weights")
+    save_checkpoint(final_dir, state, cfg)
+    print(f"Final weights + config saved to {final_dir}")
     print("SPNet-TPU execution completed.")
 
 

@@ -204,6 +204,11 @@ class TrainConfig:
     fraction: float = 1.0
     seed: int = 1
     augment: bool = True
+    #: Train-time Gaussian-blur probability.  Default 0 matches the
+    #: reference's EFFECTIVE recipe: its `blur_inplace` discards the cv2
+    #: result (`augmentation.py:66-70`), so reference training never
+    #: actually blurred.  Set >0 to opt in to real blur.
+    blur_prob: float = 0.0
     save_every: int = 5  # epochs between checkpoints (`callbacks.py:37`)
     # 1-cycle shape parameters (reference `callbacks.py:366`)
     onecycle_pct_start: float = 0.3

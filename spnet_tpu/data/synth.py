@@ -110,8 +110,13 @@ def _boxes_overlap(p, q):
     return not (p[2] < q[0] or p[0] > q[2] or p[3] < q[1] or p[1] > q[3])
 
 
-def sample_scene(seed: int, frame: int) -> Scene:
-    """Deterministic scene for one frame."""
+def sample_scene(seed: int, frame: int, variant: str = "primary") -> Scene:
+    """Deterministic scene for one frame.
+
+    variant='hybrid' reproduces the reference's OLDER generator
+    (`/root/reference/gen_fake_espi_hybrid.py`): 0..6 antinodes per frame
+    (vs 1..7), blur kernel {3, 5} (vs {3, 7}); its other deltas (no pixel
+    dropout, no bandpass variant) live in `render_frames`."""
     rng = np.random.default_rng(np.random.SeedSequence([seed, frame]))
 
     # waves
@@ -122,8 +127,11 @@ def sample_scene(seed: int, frame: int) -> Scene:
     amp = float(rng.integers(10, 201))
     wavelength = float(rng.integers(100, W // 2 + 1))
 
-    # antinodes
-    n_an = int(rng.integers(1, MAX_ANTINODES + 1))
+    # antinodes (hybrid: 0..6, `gen_fake_espi_hybrid.py:309-310`)
+    if variant == "hybrid":
+        n_an = int(rng.integers(0, MAX_ANTINODES))
+    else:
+        n_an = int(rng.integers(1, MAX_ANTINODES + 1))
     present = np.zeros(MAX_ANTINODES, bool)
     cxs = np.zeros(MAX_ANTINODES, np.float32)
     cys = np.zeros(MAX_ANTINODES, np.float32)
@@ -315,9 +323,9 @@ def _sep_blur(img, k1d):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("bandpass",))
+@functools.partial(jax.jit, static_argnames=("bandpass", "variant"))
 def render_frames(scene_arrays: dict, bandpass: bool = False,
-                  real_images=None):
+                  real_images=None, variant: str = "primary"):
     """Render a batch of frames from stacked scene parameters.
 
     Returns float32 (B, H, W) images in [0, 255].
@@ -355,13 +363,15 @@ def render_frames(scene_arrays: dict, bandpass: bool = False,
         }
     )
 
-    # blur (none / 3 / 7), branchless per-frame select
+    # blur (none / 3 / {7 or 5}), branchless per-frame select; the
+    # hybrid variant uses ksize 5 (`gen_fake_espi_hybrid.py:314-316`)
     b3 = _sep_blur(imgs, _gauss_kernel(3))
-    b7 = _sep_blur(imgs, _gauss_kernel(7))
+    b_alt = _sep_blur(imgs, _gauss_kernel(5 if variant == "hybrid" else 7))
     sel = scene_arrays["blur_sel"][:, None, None]
-    imgs = jnp.where(sel == 1, b3, jnp.where(sel == 2, b7, imgs))
+    imgs = jnp.where(sel == 1, b3, jnp.where(sel == 2, b_alt, imgs))
 
     # additive clipped Gaussian noise N(40, 40) + Bernoulli pixel dropout
+    # (the hybrid variant stops at the noise: no dropout, no bandpass)
     def noise_one(img, seed):
         key = jax.random.key(seed)
         k1, k2 = jax.random.split(key)
@@ -369,6 +379,8 @@ def render_frames(scene_arrays: dict, bandpass: bool = False,
             40.0 + 40.0 * jax.random.normal(k1, img.shape), 0.0, 255.0
         )
         img = jnp.clip(img + noise, 0.0, 255.0)
+        if variant == "hybrid":
+            return img
         mask = jax.random.bernoulli(k2, 0.5, img.shape)
         return img * mask
 
@@ -444,6 +456,7 @@ def generate_dataset(
     batch: int = 64,
     frame_start: int = 0,
     bandpass: str | None = None,
+    variant: str = "primary",
     verbose: bool = True,
 ) -> None:
     """Write `steelpan_%07d.png` + `.csv` pairs under Train/ (and Val/ for
@@ -466,7 +479,8 @@ def generate_dataset(
 
     for b0 in range(0, num_frames, batch):
         nb = min(batch, num_frames - b0)
-        scenes = [sample_scene(seed, frame_start + b0 + i) for i in range(nb)]
+        scenes = [sample_scene(seed, frame_start + b0 + i, variant)
+                  for i in range(nb)]
         arrays = scenes_to_arrays(scenes)
         if real_pool is not None:
             ridx = np.random.default_rng(seed + b0).integers(
@@ -478,7 +492,9 @@ def generate_dataset(
             imgs = np.asarray(imgs_f).astype(np.uint8)
             bps = np.asarray(imgs_bp).astype(np.uint8)
         else:
-            imgs = np.asarray(render_frames(arrays)).astype(np.uint8)
+            imgs = np.asarray(
+                render_frames(arrays, variant=variant)
+            ).astype(np.uint8)
             bps = None
         for i, sc in enumerate(scenes):
             frame = frame_start + b0 + i
@@ -487,7 +503,13 @@ def generate_dataset(
             prefix = os.path.join(
                 out_dir, sub, f"steelpan_{frame:07d}"
             )
-            caption = caption_from_records(sc.caption_rows())
+            rows = sc.caption_rows()
+            # the hybrid variant writes an explicit all-zeros row for
+            # empty frames (`gen_fake_espi_hybrid.py:302-303`); the
+            # rings<=0 parse filter drops it downstream, like the
+            # reference's parse_meta_file
+            caption = (caption_from_records(rows) if rows
+                       else "0,0,0,0,0,0.0")
             Image.fromarray(imgs[i], mode="L").save(prefix + ".png")
             with open(prefix + ".csv", "w") as f:
                 f.write(caption)

@@ -10,6 +10,8 @@ passthrough of the penultimate stage, as published (Redmon & Farhadi
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -25,7 +27,7 @@ def _space_to_depth_2(x):
 class DarkNet19(nn.Module):
     """Feature extractor: (B, H, W, C) -> (B, H/32, W/32, 1024 + 256)."""
 
-    dtype = jnp.bfloat16
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -7,6 +7,8 @@ a 3x3/2 conv stem then 13 depthwise-separable blocks with ReLU6.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -43,7 +45,7 @@ class MobileNet(nn.Module):
     """
 
     width_mult: float = 1.0
-    dtype = jnp.bfloat16
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -18,6 +18,8 @@ BatchNorm: momentum 0.9997, eps 1e-3, like Keras.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -145,11 +147,12 @@ class NASNetMobile(nn.Module):
     penultimate_filters: int = 1056
     num_blocks: int = 4
     stem_filters: int = 32
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train=False):
         f = self.penultimate_filters // 24
-        x = x.astype(jnp.bfloat16) if x.dtype == jnp.bfloat16 else x
+        x = x.astype(self.dtype)
         x = nn.Conv(self.stem_filters, (3, 3), strides=(2, 2),
                     padding="VALID", use_bias=False, dtype=x.dtype,
                     name="stem_conv")(x)

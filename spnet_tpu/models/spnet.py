@@ -33,32 +33,39 @@ from spnet_tpu.models.xception import Xception
 from spnet_tpu.ops.activations import selective_sigmoid_jnp
 
 
-def _backbone_ctor(name: str, width_mult: float = 1.0):
+def _backbone_ctor(name: str, width_mult: float = 1.0,
+                   dtype: Any = jnp.bfloat16):
     """Returns (constructor kwargs -> module factory, layer order).
 
     The factory must only be invoked inside a parent module's compact
-    scope (flax naming rules)."""
+    scope (flax naming rules).  `dtype` is the compute dtype and MUST be
+    threaded through (the backbones default to bfloat16 on their own;
+    a float32 config has to override that)."""
     if name == "Xception":
-        return lambda mn: Xception(name=mn), Xception.LAYER_ORDER
+        return (lambda mn: Xception(name=mn, dtype=dtype),
+                Xception.LAYER_ORDER)
     if name == "MobileNet":
-        return (lambda mn: MobileNet(width_mult=width_mult, name=mn),
+        return (lambda mn: MobileNet(width_mult=width_mult, name=mn,
+                                     dtype=dtype),
                 MobileNet.LAYER_ORDER)
     if name == "MobileNetTiny":  # CPU-testable config
-        return (lambda mn: MobileNet(width_mult=0.125, name=mn),
+        return (lambda mn: MobileNet(width_mult=0.125, name=mn,
+                                     dtype=dtype),
                 MobileNet.LAYER_ORDER)
     if name == "InceptionResNetV2":
         from spnet_tpu.models.inception_resnet_v2 import InceptionResNetV2
 
-        return (lambda mn: InceptionResNetV2(name=mn),
+        return (lambda mn: InceptionResNetV2(name=mn, dtype=dtype),
                 InceptionResNetV2.LAYER_ORDER)
     if name == "DarkNet19":
         from spnet_tpu.models.darknet import DarkNet19
 
-        return lambda mn: DarkNet19(name=mn), DarkNet19.LAYER_ORDER
+        return (lambda mn: DarkNet19(name=mn, dtype=dtype),
+                DarkNet19.LAYER_ORDER)
     if name == "NASNetMobile":
         from spnet_tpu.models.nasnet import NASNetMobile
 
-        return (lambda mn: NASNetMobile(name=mn),
+        return (lambda mn: NASNetMobile(name=mn, dtype=dtype),
                 NASNetMobile.LAYER_ORDER)
     raise ValueError(f"unknown backbone {name!r}")
 
@@ -136,7 +143,8 @@ class SPNet(nn.Module):
         x = Stem(dtype=self.dtype, name="stem")(x, train)
         x = nn.Dropout(self.dropout_rate, deterministic=not train,
                        name="stem_dropout")(x)
-        factory, _ = _backbone_ctor(self.backbone, self.width_mult)
+        factory, _ = _backbone_ctor(self.backbone, self.width_mult,
+                                    self.dtype)
         x = factory("backbone")(x, train)
         x = x.reshape((x.shape[0], -1))
         # fp32 head: the 576-way regression is precision-sensitive

@@ -15,6 +15,8 @@ plus VPU depthwise passes.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -27,7 +29,7 @@ class _DownBlock(nn.Module):
 
     features: int
     first_relu: bool = True
-    dtype = jnp.bfloat16
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -52,7 +54,7 @@ class _MiddleBlock(nn.Module):
     """3x (relu -> sepconv 728) with identity residual."""
 
     features: int = 728
-    dtype = jnp.bfloat16
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -68,7 +70,7 @@ class _MiddleBlock(nn.Module):
 class Xception(nn.Module):
     """Feature extractor: input (B, H, W, C) -> (B, H/32-ish, W/32-ish, 2048)."""
 
-    dtype = jnp.bfloat16
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -127,19 +127,26 @@ def random_blur(images, key, prob: float = 0.4):
     return jnp.where(do[:, None, None, None], sel, images)
 
 
-def augment_on_the_fly(images, key):
+def augment_on_the_fly(images, key, blur_prob: float = 0.0):
     """The full label-preserving train-time pipeline (cutout -> salt &
-    pepper -> blur), one fused jitted program; replaces the reference's
-    per-epoch host rewrite of X (`callbacks.py:319-338`)."""
+    pepper -> optional blur), one fused jitted program; replaces the
+    reference's per-epoch host rewrite of X (`callbacks.py:319-338`).
+
+    blur_prob defaults to 0: the reference's train-time blur is a silent
+    no-op (`augmentation.py:66-70` discards the cv2 result), so its
+    effective Dataset-A recipe is cutout + salt&pepper only.  Pass
+    blur_prob>0 to actually blur (TrainConfig.blur_prob)."""
     k1, k2, k3 = jax.random.split(key, 3)
     images = cutout(images, k1)
     images = salt_and_pepper(images, k2)
-    images = random_blur(images, k3)
+    if blur_prob > 0:
+        images = random_blur(images, k3, prob=blur_prob)
     return images
 
 
 #: Standalone jitted entry point (the train step traces the plain fn).
-augment_on_the_fly_jit = jax.jit(augment_on_the_fly, donate_argnums=(0,))
+augment_on_the_fly_jit = jax.jit(augment_on_the_fly, donate_argnums=(0,),
+                                 static_argnames=("blur_prob",))
 
 
 # ---------------------------------------------------------------------------

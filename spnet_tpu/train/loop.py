@@ -34,11 +34,7 @@ from spnet_tpu.models.spnet import build_model
 from spnet_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
 from spnet_tpu.train.schedule import onecycle_schedule
 from spnet_tpu.train.state import create_train_state, unfreeze
-from spnet_tpu.train.steps import (
-    make_eval_step,
-    make_predict_step,
-    make_train_step,
-)
+from spnet_tpu.train.steps import make_predict_step, make_train_step
 
 
 def predict_in_batches(predict_fn, params, batch_stats, x, batch_size,
@@ -108,29 +104,48 @@ def train_network(
         if verbose:
             print(f"    data-parallel over {mesh.size} devices")
 
-    # device-resident dataset: keep the whole training set in HBM and
-    # gather minibatches by index inside the jitted step — zero per-step
-    # host->device traffic.  Default on for single-device runs that fit.
+    # device-resident dataset: keep the whole training set in HBM
+    # (sharded over the mesh's data axis when one is active) and build
+    # each epoch as ONE device program — zero per-step host->device
+    # traffic.  The epoch program holds a permuted copy of X, hence the
+    # 2x term in the budget.
     if device_data is None:
+        n_dev = mesh.size if mesh is not None else 1
         device_data = (
-            mesh is None
-            and train_ds.x.nbytes + val_ds.x.nbytes < 8 * 1024**3
+            (2 * train_ds.x.nbytes + val_ds.x.nbytes) / n_dev
+            < 8 * 1024**3
         )
     train_step = make_train_step(
         model, cfg.loss_weights, mc.loss_type, l2_reg=mc.l2_reg,
-        augment=tc.augment, indexed="epoch" if device_data else False,
+        augment=tc.augment, blur_prob=tc.blur_prob,
+        indexed="epoch" if device_data else False, mesh=mesh,
     )
-    eval_step = make_eval_step(model, cfg.loss_weights, mc.loss_type)
     predict_fn = make_predict_step(model)
+    # full-val component losses from the (normalized) predictions, like
+    # the reference's my_loss over the whole val set (callbacks.py:144-151)
+    from spnet_tpu.ops.losses import loss_components
+
+    comps_fn = jax.jit(
+        lambda yt, yp: loss_components(yt, yp, cfg.loss_weights,
+                                       mc.loss_type)
+    )
 
     if device_data:
-        x_all = jax.device_put(jnp.asarray(train_ds.x))
-        y_all = jax.device_put(jnp.asarray(train_ds.y))
+        from spnet_tpu.parallel.mesh import batch_sharding
+
+        put = (
+            (lambda a: jax.device_put(a, batch_sharding(mesh)))
+            if mesh is not None else jax.device_put
+        )
+        x_all = put(jnp.asarray(train_ds.x))
+        y_all = put(jnp.asarray(train_ds.y))
         x_val_dev = jax.device_put(jnp.asarray(val_ds.x))
         if verbose:
             print(f"    device-resident dataset: "
                   f"{(train_ds.x.nbytes + val_ds.x.nbytes) / 1e9:.2f} GB "
-                  f"in HBM")
+                  f"in HBM"
+                  + (f" (sharded over {mesh.size} devices)"
+                     if mesh is not None else ""))
     else:
         x_val_dev = val_ds.x
 
@@ -230,8 +245,9 @@ def train_network(
             predict_fn, state.params, state.batch_stats, x_val_dev,
             tc.batch_size, mesh=mesh, verbose=verbose > 1,
         )
-        _, comps = eval_step(state, jnp.asarray(x_val_dev[: tc.batch_size]),
-                             jnp.asarray(val_ds.y[: tc.batch_size]))
+        # component losses over the FULL val set (reference
+        # callbacks.py:144-151), from the already-collected predictions
+        comps = comps_fn(jnp.asarray(val_ds.y), jnp.asarray(y_pred))
         comps_np = {k: float(v) for k, v in comps.items()}
 
         if mc.loss_type != "same":  # decode noobj logits

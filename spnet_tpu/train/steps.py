@@ -71,9 +71,11 @@ def make_train_step(
     loss_type: str = "same",
     l2_reg: float = 1e-4,
     augment: bool = True,
+    blur_prob: float = 0.0,
     use_pallas_loss: bool = False,
     l2_scope: str = "reference",
     indexed: bool = False,
+    mesh=None,
 ):
     """Returns train_step(state, x, y, rng) -> (state, metrics).
 
@@ -83,13 +85,19 @@ def make_train_step(
     per-step host->device traffic (the TPU-native replacement for host
     batch feeding; the pristine x_all plays the role of the reference's
     `X_orig` copy in AugmentOnTheFly, since augmentation is applied to
-    the gathered batch only)."""
+    the gathered batch only).
+
+    With a `mesh`, the epoch program constrains the per-step batch dim
+    to the mesh's data axis, so the scan is data-parallel: XLA partitions
+    every step across devices and inserts the gradient/batch-stat
+    all-reduces over ICI.  Semantics are identical to single-device
+    (global-batch BN, global grad mean)."""
 
     def _core(state: TrainState, x, y, rng):
         x = _prep_x(x)
         aug_rng, dropout_rng = jax.random.split(rng)
         if augment:
-            x = augment_on_the_fly(x, aug_rng)
+            x = augment_on_the_fly(x, aug_rng, blur_prob=blur_prob)
 
         def loss_fn(params):
             out, updates = model.apply(
@@ -134,21 +142,35 @@ def make_train_step(
     if indexed == "epoch":
 
         def train_epoch(state, x_all, y_all, idx_mat, rng):
-            """One WHOLE epoch as a single device program: lax.scan over
-            the (steps, batch) index matrix — one host dispatch per
-            epoch instead of per step (dispatch latency dominates on
-            remote/tunneled devices)."""
+            """One WHOLE epoch as a single device program: permute the
+            device-resident dataset into (steps, batch, ...) epoch order
+            ONCE, then lax.scan consumes contiguous slices — one host
+            dispatch per epoch (dispatch latency dominates on remote/
+            tunneled devices) and no per-step random gathers inside the
+            scan (the round-1 profile showed those at 18% of summed op
+            time).  The permuted copy is uint8 when the dataset is, so
+            the extra HBM is bytes-per-pixel, not float32."""
+            steps, bs = idx_mat.shape
+            flat = idx_mat.reshape(-1)
+            x_ep = x_all[flat].reshape((steps, bs) + x_all.shape[1:])
+            y_ep = y_all[flat].reshape((steps, bs) + y_all.shape[1:])
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from spnet_tpu.parallel.mesh import DATA_AXIS
+
+                s = NamedSharding(mesh, P(None, DATA_AXIS))
+                x_ep = jax.lax.with_sharding_constraint(x_ep, s)
+                y_ep = jax.lax.with_sharding_constraint(y_ep, s)
 
             def body(carry, inp):
                 st = carry
-                idx, i = inp
-                st, m = _core(st, x_all[idx], y_all[idx],
-                              jax.random.fold_in(rng, i))
+                xb, yb, i = inp
+                st, m = _core(st, xb, yb, jax.random.fold_in(rng, i))
                 return st, m["loss"]
 
-            steps = idx_mat.shape[0]
             state, losses = jax.lax.scan(
-                body, state, (idx_mat, jnp.arange(steps))
+                body, state, (x_ep, y_ep, jnp.arange(steps))
             )
             return state, losses
 

@@ -154,3 +154,42 @@ def test_rendered_rings_match_label_ellipse():
         frac_inside = (on & label_mask).sum() / on.sum()
         assert frac_inside > 0.99, (cx, cy, a, b, ang, rings,
                                     frac_inside)
+
+
+def test_hybrid_variant(tmp_path):
+    """The hybrid generator delta (`gen_fake_espi_hybrid.py`): 0..6
+    antinodes with an all-zeros caption for empty frames, no pixel
+    dropout (so frames have no zeroed-out speckle holes beyond the dark
+    bands), and the parse pipeline drops the zero rows."""
+    # antinode-count range shifts down to 0..6
+    counts = [int(sample_scene(5, i, "hybrid").present.sum())
+              for i in range(200)]
+    assert min(counts) == 0 and max(counts) <= 6
+
+    d = str(tmp_path / "hyb")
+    generate_dataset(d, 12, seed=5, batch=12, variant="hybrid",
+                     verbose=False)
+    csvs = sorted(glob.glob(os.path.join(d, "Train", "*.csv")))
+    assert len(csvs) == 12
+    empties = [c for c in csvs
+               if open(c).read().strip() == "0,0,0,0,0,0.0"]
+    assert empties, "expected at least one all-zeros caption in 12 frames"
+    recs = parse_meta_file(empties[0])
+    assert recs.shape[0] == 0  # rings<=0 filter drops the zero row
+
+
+def test_blur_prob_knob():
+    """augment_on_the_fly: blur_prob=0 (the reference's effective recipe)
+    must leave non-cutout/salt pixels crisp; blur_prob=1 must change most
+    pixels."""
+    import jax
+    import jax.numpy as jnp
+
+    from spnet_tpu.ops.augment import random_blur
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 1)).astype(np.float32))
+    same = random_blur(x, jax.random.key(0), prob=0.0)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(x))
+    blurred = random_blur(x, jax.random.key(0), prob=1.0)
+    assert np.abs(np.asarray(blurred) - np.asarray(x)).mean() > 0.1

@@ -58,7 +58,7 @@ def main():
     ckpt = os.environ.get("SPNET_CKPT", "") or None
     state, model, history = train_network(
         cfg, train_ds, val_ds, log_dir="logs/dataset_a",
-        ckpt_dir=ckpt, render_overlays=False, verbose=1,
+        ckpt_dir=ckpt, render_overlays=False, device_data=True, verbose=1,
     )
     out = {
         "last": history[-1],

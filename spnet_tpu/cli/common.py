@@ -41,6 +41,12 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="compute dtype")
+    p.add_argument("--pretrained", default="",
+                   help="path to Keras pretrained backbone weights "
+                        "(.h5/.keras, MobileNet); empty = from scratch")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone activations (trade "
+                        "recompute for HBM; for big batches / 'big' mode)")
 
 
 def config_from_args(args, grid_tuple=(6, 6, 2)) -> ExperimentConfig:
@@ -52,6 +58,8 @@ def config_from_args(args, grid_tuple=(6, 6, 2)) -> ExperimentConfig:
             input_size=getattr(args, "input_size", 331),
             loss_type=getattr(args, "loss_type", "same"),
             compute_dtype=getattr(args, "dtype", "bfloat16"),
+            pretrained=getattr(args, "pretrained", ""),
+            remat=getattr(args, "remat", False),
         ),
         train=TrainConfig(
             batch_size=getattr(args, "batch_size", 16),

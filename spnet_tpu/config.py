@@ -189,6 +189,15 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     l2_reg: float = 1e-4  # reference `models.py:47`
     selective_sigmoid: bool = False  # reference model_type 'ss'
+    #: Optional path to Keras pretrained backbone weights (.h5/.keras);
+    #: currently supported for MobileNet (the reference's imagenet path,
+    #: `models.py:349-355`).  Empty = train from scratch, which is what
+    #: the reference's Xception headline runs actually do (`models.py:359`).
+    pretrained: str = ""
+    #: Rematerialize backbone activations in the backward pass
+    #: (jax.checkpoint / nn.remat): trades recompute FLOPs for HBM —
+    #: for larger batches or the native-resolution 'big' mode.
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

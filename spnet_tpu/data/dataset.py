@@ -118,8 +118,17 @@ def build_dataset(
     seed: int | None = None,
     cache: bool = False,
     on_overflow: str = "raise",
+    shard_index: int = 0,
+    num_shards: int = 1,
 ) -> Dataset:
-    """Load a Train/Val/Test directory into a Dataset."""
+    """Load a Train/Val/Test directory into a Dataset.
+
+    shard_index/num_shards: multi-host input sharding — every process
+    computes the SAME deterministic global shuffle (seeded), then takes
+    the strided slice `files[shard_index::num_shards]`, so the union of
+    all hosts is an exact partition of the dataset (grain-style sharded
+    file lists; each host feeds its local devices of the global mesh).
+    """
     grid = grid or GridSpec()
     img_files, meta_files = paired_file_lists(
         path if path.endswith(os.sep) else path + os.sep
@@ -129,6 +138,9 @@ def build_dataset(
         rng = py_random.Random(seed)
         rng.shuffle(pairs)
         img_files, meta_files = map(list, zip(*pairs))
+    if num_shards > 1:
+        img_files = img_files[shard_index::num_shards]
+        meta_files = meta_files[shard_index::num_shards]
 
     total = int(len(img_files) * load_frac)
     if batch_size:

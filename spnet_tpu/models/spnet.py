@@ -35,50 +35,143 @@ from spnet_tpu.ops.activations import selective_sigmoid_jnp
 
 def _backbone_ctor(name: str, width_mult: float = 1.0,
                    dtype: Any = jnp.bfloat16):
-    """Returns (constructor kwargs -> module factory, layer order).
+    """Returns (module class, constructor kwargs, layer order).
 
-    The factory must only be invoked inside a parent module's compact
-    scope (flax naming rules).  `dtype` is the compute dtype and MUST be
-    threaded through (the backbones default to bfloat16 on their own;
-    a float32 config has to override that)."""
+    Instantiate only inside a parent module's compact scope (flax naming
+    rules).  `dtype` is the compute dtype and MUST be threaded through
+    (the backbones default to bfloat16 on their own; a float32 config
+    has to override that)."""
     if name == "Xception":
-        return (lambda mn: Xception(name=mn, dtype=dtype),
-                Xception.LAYER_ORDER)
+        return Xception, dict(dtype=dtype), Xception.LAYER_ORDER
     if name == "MobileNet":
-        return (lambda mn: MobileNet(width_mult=width_mult, name=mn,
-                                     dtype=dtype),
+        return (MobileNet, dict(width_mult=width_mult, dtype=dtype),
                 MobileNet.LAYER_ORDER)
     if name == "MobileNetTiny":  # CPU-testable config
-        return (lambda mn: MobileNet(width_mult=0.125, name=mn,
-                                     dtype=dtype),
+        return (MobileNet, dict(width_mult=0.125, dtype=dtype),
                 MobileNet.LAYER_ORDER)
     if name == "InceptionResNetV2":
         from spnet_tpu.models.inception_resnet_v2 import InceptionResNetV2
 
-        return (lambda mn: InceptionResNetV2(name=mn, dtype=dtype),
+        return (InceptionResNetV2, dict(dtype=dtype),
                 InceptionResNetV2.LAYER_ORDER)
     if name == "DarkNet19":
         from spnet_tpu.models.darknet import DarkNet19
 
-        return (lambda mn: DarkNet19(name=mn, dtype=dtype),
-                DarkNet19.LAYER_ORDER)
+        return DarkNet19, dict(dtype=dtype), DarkNet19.LAYER_ORDER
     if name == "NASNetMobile":
         from spnet_tpu.models.nasnet import NASNetMobile
 
-        return (lambda mn: NASNetMobile(name=mn, dtype=dtype),
+        return (NASNetMobile, dict(dtype=dtype),
                 NASNetMobile.LAYER_ORDER)
     raise ValueError(f"unknown backbone {name!r}")
 
 
+class _KernelHolder(nn.Module):
+    """Owns a conv kernel under the same tree path nn.Conv would use
+    (<name>/kernel), so the planar stem below stays checkpoint-compatible
+    with the NHWC nn.Conv formulation."""
+
+    shape: tuple
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape,
+            self.dtype,
+        )
+
+
+def _planar_conv3x3(planes, kernel, compute_dtype):
+    """3x3 SAME conv expressed as 9 shifted multiply-adds on channel
+    PLANES (B, C, H, W).
+
+    TPU motivation: at C in {1, 3}, an NHWC conv tensor puts the channel
+    dim on the 128-wide lane axis, so every HBM<->VMEM copy of the big
+    331x331 stem tensors moves up to 128x the useful bytes (the round-1
+    profile: copies = 66% of summed op time).  In the planar layout the
+    minor dims are (H, W) — dense tiles, zero lane padding — and the
+    shifted MADs are pure elementwise ops XLA fuses without layout
+    changes.  Accumulation in float32, like the MXU conv it replaces.
+    """
+    b, c_in, h, w = planes.shape
+    c_out = kernel.shape[-1]
+    # round weights through the compute dtype exactly like nn.Conv does,
+    # then accumulate in f32 (the MXU conv's accumulation dtype)
+    k = kernel.astype(compute_dtype).astype(jnp.float32)
+    xp = jnp.pad(planes.astype(jnp.float32),
+                 ((0, 0), (0, 0), (1, 1), (1, 1)))
+    outs = []
+    for o in range(c_out):
+        acc = jnp.zeros((b, h, w), jnp.float32)
+        for u in range(3):
+            for v in range(3):
+                shifted = xp[:, :, u : u + h, v : v + w]
+                acc = acc + jnp.einsum(
+                    "bchw,c->bhw", shifted, k[u, v, :, o]
+                )
+        outs.append(acc)
+    return jnp.stack(outs, axis=1).astype(compute_dtype)
+
+
+def _planar_avgpool2(planes):
+    """2x2 stride-2 VALID average pool on (B, C, H, W) planes."""
+    h2 = (planes.shape[2] - 2) // 2 + 1
+    w2 = (planes.shape[3] - 2) // 2 + 1
+    p = planes.astype(jnp.float32)
+    out = (
+        p[:, :, 0 : 2 * h2 : 2, 0 : 2 * w2 : 2]
+        + p[:, :, 0 : 2 * h2 : 2, 1 : 2 * w2 : 2]
+        + p[:, :, 1 : 2 * h2 : 2, 0 : 2 * w2 : 2]
+        + p[:, :, 1 : 2 * h2 : 2, 1 : 2 * w2 : 2]
+    ) / 4.0
+    return out.astype(planes.dtype)
+
+
 class Stem(nn.Module):
     """The 'colorizer' front end (grayscale -> 3 pseudo-color channels at
-    half resolution, with a pooled residual skip)."""
+    half resolution, with a pooled residual skip).
+
+    Computed in a channel-planes (B, C, H, W) layout: see
+    `_planar_conv3x3` for why (lane-padding at C in {1, 3} made the
+    NHWC formulation copy-bound on TPU).  Math, parameter tree, and
+    batch-stat tree are identical to the reference formulation
+    (`/root/reference/spnet/models.py:315-340`); `planar=False` keeps the
+    original NHWC implementation as a numerical twin for tests."""
 
     filters: int = 3
     dtype: Any = jnp.bfloat16
+    planar: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if not self.planar:
+            return self._nhwc(x, train)
+        b, h, w, c_in = x.shape
+        planes = jnp.transpose(x, (0, 3, 1, 2)).astype(self.dtype)
+
+        k1 = _KernelHolder((3, 3, c_in, self.filters), name="colorizer")()
+        k2 = _KernelHolder((3, 3, self.filters, self.filters),
+                           name="conv2")()
+        k3 = _KernelHolder((3, 3, self.filters, self.filters),
+                           name="conv3")()
+
+        def bn(p, name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.99,
+                epsilon=1e-3, dtype=self.dtype, axis=1, name=name,
+            )(p)
+
+        p = _planar_conv3x3(planes, k1, self.dtype)
+        p = _planar_avgpool2(p)
+        p = leaky_relu_01(bn(p, "bn1"))
+        p = leaky_relu_01(bn(_planar_conv3x3(p, k2, self.dtype), "bn2"))
+        p = bn(_planar_conv3x3(p, k3, self.dtype), "bn3")
+        skip = _planar_avgpool2(planes)  # (B, 1, H/2, W/2)
+        p = p + skip
+        return jnp.transpose(p, (0, 2, 3, 1))  # NHWC for the backbone
+
+    def _nhwc(self, x, train):
         inputs = x
         x = nn.Conv(
             self.filters, (3, 3), padding="SAME", use_bias=False,
@@ -134,6 +227,7 @@ class SPNet(nn.Module):
     compound_head: bool = False
     width_mult: float = 1.0
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -143,9 +237,15 @@ class SPNet(nn.Module):
         x = Stem(dtype=self.dtype, name="stem")(x, train)
         x = nn.Dropout(self.dropout_rate, deterministic=not train,
                        name="stem_dropout")(x)
-        factory, _ = _backbone_ctor(self.backbone, self.width_mult,
-                                    self.dtype)
-        x = factory("backbone")(x, train)
+        cls, kwargs, _ = _backbone_ctor(self.backbone, self.width_mult,
+                                        self.dtype)
+        if self.remat:
+            # rematerialize backbone activations in the backward pass:
+            # trades recompute FLOPs for HBM, enabling larger batches /
+            # native-resolution inputs (nn.remat is param-structure
+            # preserving, so checkpoints are interchangeable)
+            cls = nn.remat(cls, static_argnums=(2,))
+        x = cls(name="backbone", **kwargs)(x, train)
         x = x.reshape((x.shape[0], -1))
         # fp32 head: the 576-way regression is precision-sensitive
         x = x.astype(jnp.float32)
@@ -171,7 +271,7 @@ class SPNet(nn.Module):
         return x
 
     def backbone_layer_order(self):
-        _, order = _backbone_ctor(self.backbone, self.width_mult)
+        _, _, order = _backbone_ctor(self.backbone, self.width_mult)
         return order
 
 
@@ -184,4 +284,5 @@ def build_model(cfg: ModelConfig, num_outputs: int = 576,
         selective_sigmoid=cfg.selective_sigmoid,
         width_mult=width_mult,
         dtype=jnp.dtype(cfg.compute_dtype),
+        remat=cfg.remat,
     )

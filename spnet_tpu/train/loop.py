@@ -93,6 +93,20 @@ def train_network(
                        jnp.float32)
     state = create_train_state(model, rng, sample, sched,
                                freeze_fac=tc.freeze_fac)
+    if mc.pretrained:
+        # Keras pretrained backbone (reference MobileNet imagenet path,
+        # `models.py:349-355`); a checkpoint restore below still wins.
+        from spnet_tpu.io.keras_import import (
+            apply_backbone_weights,
+            load_keras_mobilenet,
+        )
+
+        bb_p, bb_s = load_keras_mobilenet(mc.pretrained)
+        p, s = apply_backbone_weights(state.params, state.batch_stats,
+                                      bb_p, bb_s)
+        state = state.replace(params=p, batch_stats=s)
+        if verbose:
+            print(f"    pretrained backbone loaded from {mc.pretrained}")
     if ckpt_dir:
         state = restore_if_exists(ckpt_dir, state)
 
@@ -110,10 +124,12 @@ def train_network(
     # traffic.  The epoch program holds a permuted copy of X, hence the
     # 2x term in the budget.
     if device_data is None:
+        # budget against v5e-class HBM (16 GB): dataset + the permuted
+        # epoch copy + val, leaving ~4 GB for params/opt/activations
         n_dev = mesh.size if mesh is not None else 1
         device_data = (
             (2 * train_ds.x.nbytes + val_ds.x.nbytes) / n_dev
-            < 8 * 1024**3
+            < 12 * 1024**3
         )
     train_step = make_train_step(
         model, cfg.loss_weights, mc.loss_type, l2_reg=mc.l2_reg,
@@ -148,6 +164,9 @@ def train_network(
                      if mesh is not None else ""))
     else:
         x_val_dev = val_ds.x
+        if verbose:
+            print("    host-fed batches (dataset too large for "
+                  "device-resident mode)")
 
     log = LossLog(log_dir)
     history = []
@@ -241,9 +260,15 @@ def train_network(
                     state = replicate_state(mesh, state)
 
         # ---- epoch-end diagnostics ----
+        # eval-mode predictions are batch-size independent; use a larger
+        # inference batch than the train batch so the per-epoch val sweep
+        # is a handful of dispatches instead of hundreds (dispatch
+        # latency dominates through the device tunnel)
+        infer_bs = max(tc.batch_size,
+                       min(256, int(np.asarray(x_val_dev.shape[0]))))
         y_pred, fps = predict_in_batches(
             predict_fn, state.params, state.batch_stats, x_val_dev,
-            tc.batch_size, mesh=mesh, verbose=verbose > 1,
+            infer_bs, mesh=mesh, verbose=verbose > 1,
         )
         # component losses over the FULL val set (reference
         # callbacks.py:144-151), from the already-collected predictions

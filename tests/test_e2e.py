@@ -295,3 +295,23 @@ def test_resume_mid_frozen_phase_unfreezes_on_schedule(tmp_path):
     # keeps the backbone frozen through epochs 2 AND 3 -> identical kernel
     assert not np.allclose(frozen_kernel_before, frozen_kernel_after), \
         "backbone never unfroze after mid-frozen-phase resume"
+
+
+def test_multihost_shard_partition(tmp_path):
+    """shard_index/num_shards must partition the dataset exactly: same
+    deterministic global shuffle on every host, disjoint strided slices,
+    union = whole dataset."""
+    data_dir = str(tmp_path / "d")
+    generate_dataset(data_dir, 12, seed=3, batch=12, verbose=False)
+    full = build_dataset(os.path.join(data_dir, "Train"), GridSpec(),
+                         input_size=64, seed=7)
+    shards = [
+        build_dataset(os.path.join(data_dir, "Train"), GridSpec(),
+                      input_size=64, seed=7, shard_index=i, num_shards=3)
+        for i in range(3)
+    ]
+    seen = [f for s in shards for f in s.file_list]
+    assert sorted(seen) == sorted(full.file_list)
+    assert len(set(seen)) == len(seen)  # disjoint
+    # same global order -> shard 0 holds every 3rd file of the full list
+    assert shards[0].file_list == full.file_list[0::3]

@@ -159,3 +159,137 @@ def test_nasnet_in_spnet():
     x = jnp.zeros((1, 96, 96, 1), jnp.float32)
     y, _, _ = _init_and_apply(model, x)
     assert y.shape == (1, 64)
+
+
+def test_planar_stem_matches_nhwc_twin():
+    """The planar (channels-as-planes) stem must be numerically and
+    structurally identical to the NHWC nn.Conv formulation: same param /
+    batch-stat trees (checkpoint compatibility), same init values (same
+    rng paths), same outputs in both eval and train modes."""
+    import jax
+    import jax.numpy as jnp
+
+    from spnet_tpu.models.spnet import Stem
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (4, 65, 65, 1)).astype(np.float32))
+
+    planar = Stem(dtype=jnp.float32, planar=True)
+    nhwc = Stem(dtype=jnp.float32, planar=False)
+    vp = planar.init(jax.random.key(3), x, train=False)
+    vn = nhwc.init(jax.random.key(3), x, train=False)
+
+    # identical trees AND identical initial values
+    pa = jax.tree_util.tree_leaves_with_path(vp)
+    pb = jax.tree_util.tree_leaves_with_path(vn)
+    assert [jax.tree_util.keystr(k) for k, _ in pa] == \
+           [jax.tree_util.keystr(k) for k, _ in pb]
+    for (_, la), (_, lb) in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    ye = planar.apply(vn, x, train=False)
+    yn = nhwc.apply(vn, x, train=False)
+    assert ye.shape == yn.shape == (4, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(ye), np.asarray(yn),
+                               rtol=1e-5, atol=1e-5)
+
+    # train mode: outputs AND updated batch stats agree
+    yep, mp = planar.apply(vn, x, train=True, mutable=["batch_stats"])
+    ynp_, mn = nhwc.apply(vn, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yep), np.asarray(ynp_),
+                               rtol=1e-5, atol=1e-5)
+    for (_, la), (_, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(mp),
+        jax.tree_util.tree_leaves_with_path(mn),
+    ):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_keras_mobilenet_import_parity(tmp_path):
+    """Pretrained-weight import (reference `models.py:349-355`): weights
+    mapped from a Keras MobileNet must reproduce the Keras outputs
+    through the whole 28-layer stack, proving both the architecture and
+    the weight mapping.  Exercised end-to-end: save a Keras weights
+    file, point ModelConfig.pretrained at it, and check the backbone
+    subtree of the initialized train state."""
+    keras = pytest.importorskip("keras")
+    import jax
+    import jax.numpy as jnp
+
+    from spnet_tpu.io.keras_import import (
+        apply_backbone_weights,
+        keras_mobilenet_to_flax,
+        load_keras_mobilenet,
+    )
+    from spnet_tpu.models.mobilenet import MobileNet
+
+    km = keras.applications.MobileNet(include_top=False, weights=None,
+                                      input_shape=(96, 96, 3))
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    yk = np.asarray(km(x, training=False))
+
+    bb_p, bb_s = keras_mobilenet_to_flax(km)
+    fm = MobileNet(dtype=jnp.float32)
+    yf = np.asarray(fm.apply({"params": bb_p, "batch_stats": bb_s},
+                             jnp.asarray(x), train=False))
+    denom = np.abs(yk).mean() + 1e-30
+    assert np.abs(yk - yf).max() / denom < 1e-3
+
+    # file round-trip + backbone grafting
+    wpath = str(tmp_path / "mn.weights.h5")
+    km.save_weights(wpath)
+    bb_p2, bb_s2 = load_keras_mobilenet(wpath)
+    v = fm.init(jax.random.key(0), jnp.asarray(x), train=False)
+    wrapped_p = {"backbone": v["params"]}
+    wrapped_s = {"backbone": v["batch_stats"]}
+    new_p, new_s = apply_backbone_weights(wrapped_p, wrapped_s,
+                                          bb_p2, bb_s2)
+    np.testing.assert_array_equal(
+        np.asarray(new_p["backbone"]["conv1"]["conv"]["kernel"]),
+        np.asarray(km.get_layer("conv1").get_weights()[0]),
+    )
+
+
+def test_remat_backbone_identical():
+    """ModelConfig.remat wraps the backbone in nn.remat: parameter
+    structure, outputs, and gradients must be identical to the
+    non-remat model (only peak memory changes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spnet_tpu.config import ModelConfig
+    from spnet_tpu.models.spnet import build_model
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (2, 64, 64, 1))
+        .astype(np.float32))
+    plain = build_model(ModelConfig(backbone="MobileNetTiny",
+                                    compute_dtype="float32"), 64)
+    rem = build_model(ModelConfig(backbone="MobileNetTiny",
+                                  compute_dtype="float32", remat=True), 64)
+    v = plain.init(jax.random.key(0), x, train=False)
+    v2 = rem.init(jax.random.key(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == \
+        jax.tree_util.tree_structure(v2)
+
+    y1 = plain.apply(v, x, train=False)
+    y2 = rem.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(m, params):
+        out, _ = m.apply({"params": params,
+                          "batch_stats": v["batch_stats"]}, x,
+                         train=True, rngs={"dropout": jax.random.key(1)},
+                         mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(lambda p: loss(plain, p))(v["params"])
+    g2 = jax.grad(lambda p: loss(rem, p))(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -18,6 +18,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 BASELINE_IMG_PER_SEC = 126.6  # RTX 2080 Ti, BASELINE.md
@@ -37,7 +38,12 @@ def main(batch_size: int = 128, steps_per_epoch: int = 160,
     from spnet_tpu.train.steps import make_train_step
 
     grid = GridSpec()
-    mc = ModelConfig(backbone="Xception", input_size=331)
+    # SPNET_BENCH_PLANAR=0/1 overrides the stem layout for A/B runs on
+    # the real chip; default is the shipped ModelConfig default.
+    planar_env = os.environ.get("SPNET_BENCH_PLANAR", "")
+    mc = ModelConfig(backbone="Xception", input_size=331,
+                     **({"stem_planar": planar_env == "1"}
+                        if planar_env else {}))
     model = build_model(mc, num_outputs=grid.num_outputs)
 
     rng = np.random.default_rng(0)

@@ -60,9 +60,11 @@ def main():
         cfg, train_ds, val_ds, log_dir="logs/dataset_a",
         ckpt_dir=ckpt, render_overlays=False, device_data=True, verbose=1,
     )
+    tail = history[-10:]
     out = {
-        "last": history[-1],
-        "last10_ring_acc": sum(h["ring_acc"] for h in history[-10:]) / 10,
+        "last": history[-1] if history else None,
+        "last10_ring_acc": (sum(h["ring_acc"] for h in tail) / len(tail)
+                            if tail else None),
         "wall_s": round(time.time() - t0, 1),
     }
 

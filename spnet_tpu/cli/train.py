@@ -46,6 +46,11 @@ def main(argv=None):
                    help="train-time Gaussian-blur probability (the "
                         "reference's train-time blur is a silent no-op, "
                         "so 0 matches its effective recipe)")
+    p.add_argument("--geo_augment", action="store_true",
+                   help="train-time geometric augmentation (random "
+                        "flip/rotate/translate with on-device label "
+                        "re-encode) — replaces offline augment-preproc "
+                        "dataset inflation")
     p.add_argument("--name", default="")
     p.add_argument("-r", "--random_seed", type=int, default=1)
     p.add_argument("--no-eval", action="store_true",

@@ -189,6 +189,11 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     l2_reg: float = 1e-4  # reference `models.py:47`
     selective_sigmoid: bool = False  # reference model_type 'ss'
+    #: Stem layout: True = channel-planes (B,C,H,W) shifted-MAD stem,
+    #: False = NHWC nn.Conv stem.  Numerical twins (same param tree,
+    #: outputs to 1e-5); the default is whichever measured faster on the
+    #: real chip (see VALIDATION.md §1).
+    stem_planar: bool = False
     #: Optional path to Keras pretrained backbone weights (.h5/.keras);
     #: currently supported for MobileNet (the reference's imagenet path,
     #: `models.py:349-355`).  Empty = train from scratch, which is what
@@ -218,6 +223,10 @@ class TrainConfig:
     #: result (`augmentation.py:66-70`), so reference training never
     #: actually blurred.  Set >0 to opt in to real blur.
     blur_prob: float = 0.0
+    #: Train-time GEOMETRIC augmentation (random flip/rotate/translate
+    #: with on-device label re-encode) — the TPU-first replacement for
+    #: the reference's offline 42x dataset inflation (augment_preproc.py).
+    geo_augment: bool = False
     save_every: int = 5  # epochs between checkpoints (`callbacks.py:37`)
     # 1-cycle shape parameters (reference `callbacks.py:366`)
     onecycle_pct_start: float = 0.3

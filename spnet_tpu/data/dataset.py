@@ -33,6 +33,32 @@ class Dataset:
     y: np.ndarray  # (N, num_outputs) float32, normalized
     file_list: list[str]
     grid: GridSpec
+    #: Optional padded RAW ellipse rows (N, S, 6) [cx,cy,a,b,angle,rings]
+    #: in native image coordinates + slot validity (N, S) — carried so
+    #: train-time GEOMETRIC augmentation can re-encode labels on device.
+    rows: np.ndarray | None = None
+    row_mask: np.ndarray | None = None
+
+
+#: Padded raw-row slots per image for the geo-augment path.  12 covers
+#: the generator's MAX_ANTINODES (7) and every reference dataset; images
+#: with more rows keep the first ROW_SLOTS after the (cx, cy) sort.
+ROW_SLOTS = 12
+
+
+def pad_raw_rows(raw_list: list[np.ndarray], slots: int = ROW_SLOTS
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Stack variable-length raw row arrays into fixed (B, slots, 6) +
+    validity mask (B, slots)."""
+    b = len(raw_list)
+    rows = np.zeros((b, slots, 6), np.float32)
+    mask = np.zeros((b, slots), bool)
+    for i, r in enumerate(raw_list):
+        r = np.asarray(r, np.float32).reshape(-1, 6)
+        n = min(r.shape[0], slots)
+        rows[i, :n] = r[:n]
+        mask[i, :n] = True
+    return rows, mask
 
 
 def nearest_multiple(a: int, b: int) -> int:
@@ -162,7 +188,11 @@ def build_dataset(
         x = build_x(img_files, input_size)
         if cache and not shuffle:
             np.savez(cache_path, x=x)
-    return Dataset(x=x, y=y, file_list=img_files, grid=grid)
+    from spnet_tpu.data.csvio import read_raw_meta
+
+    rows, row_mask = pad_raw_rows([read_raw_meta(m) for m in meta_files])
+    return Dataset(x=x, y=y, file_list=img_files, grid=grid,
+                   rows=rows, row_mask=row_mask)
 
 
 def batches(n: int, batch_size: int, shuffle: bool = True,
@@ -211,7 +241,7 @@ def synthetic_dataset(
             )
         return jnp.clip(imgs, 0, 255).astype(jnp.uint8)
 
-    xs, ys, files = [], [], []
+    xs, ys, files, raws = [], [], [], []
     gen_batch = 256
     for b0 in range(0, num_frames, gen_batch):
         nb = min(gen_batch, num_frames - b0)
@@ -219,8 +249,10 @@ def synthetic_dataset(
         xs.append(np.asarray(
             render_resized(scenes_to_arrays(scenes), input_size)
         )[..., None])
-        recs = [canonicalize_records(np.array(s.caption_rows()).reshape(-1, 6))
-                for s in scenes]
+        raw_rows = [np.array(s.caption_rows()).reshape(-1, 6)
+                    for s in scenes]
+        raws.extend(raw_rows)
+        recs = [canonicalize_records(r) for r in raw_rows]
         ys.append(normalize(batch_ellipses_to_grid(recs, grid), grid))
         base = len(files)
         files.extend(
@@ -229,9 +261,12 @@ def synthetic_dataset(
     x = np.concatenate(xs)
     if not uint8:
         x = ((x.astype(np.float32) / 255.0) - 0.5) * 2.0
+    rows, row_mask = pad_raw_rows(raws)
     return Dataset(
         x=x,
         y=np.concatenate(ys).astype(np.float32),
         file_list=files,
         grid=grid,
+        rows=rows,
+        row_mask=row_mask,
     )

@@ -487,7 +487,8 @@ def generate_dataset(
                 0, real_pool.shape[0], nb
             )
             imgs_f, imgs_bp = render_frames(
-                arrays, bandpass=True, real_images=real_pool[ridx]
+                arrays, bandpass=True, real_images=real_pool[ridx],
+                variant=variant,
             )
             imgs = np.asarray(imgs_f).astype(np.uint8)
             bps = np.asarray(imgs_bp).astype(np.uint8)

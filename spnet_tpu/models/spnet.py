@@ -228,13 +228,15 @@ class SPNet(nn.Module):
     width_mult: float = 1.0
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    stem_planar: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         from spnet_tpu.config import IND_NOOBJ, VARS_PER_PRED
 
         x = x.astype(self.dtype)
-        x = Stem(dtype=self.dtype, name="stem")(x, train)
+        x = Stem(dtype=self.dtype, planar=self.stem_planar,
+                 name="stem")(x, train)
         x = nn.Dropout(self.dropout_rate, deterministic=not train,
                        name="stem_dropout")(x)
         cls, kwargs, _ = _backbone_ctor(self.backbone, self.width_mult,
@@ -285,4 +287,5 @@ def build_model(cfg: ModelConfig, num_outputs: int = 576,
         width_mult=width_mult,
         dtype=jnp.dtype(cfg.compute_dtype),
         remat=cfg.remat,
+        stem_planar=cfg.stem_planar,
     )

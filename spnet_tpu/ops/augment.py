@@ -242,6 +242,168 @@ def rotate_image_and_labels(img, rows, mask, rot_angle_deg):
     return out_img, jnp.where(mask[:, None], out, rows)
 
 
+def sample_geo_params(
+    key,
+    b: int,
+    rot_max: float = 20.0,
+    trans_max: float = 40.0,
+    trans_prob: float = 0.9,
+    flip_prob: float = 0.75,
+):
+    """Per-image random transform parameters, matching the reference's
+    offline distributions (`augment_preproc.py:74-95`):
+      * flip mode uniform over {none, v, h, vh}
+        (reference `np.random.choice([-2,-1,0,1])`),
+      * rotation angle U(-rot_max, rot_max) degrees,
+      * integer translation U(-trans_max, trans_max) applied with prob
+        0.9 (reference passes `np.random.randint(10)` as trans_index
+        and skips when it lands 0).
+    Returns dict(mode, theta, tx, ty), each (b,)."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    u_flip = jax.random.uniform(k1, (b,))
+    # uniform over the 4 modes when flip_prob=0.75 (mode 0 = none)
+    mode = jnp.where(
+        u_flip >= flip_prob, 0,
+        1 + (u_flip * (3.0 / max(flip_prob, 1e-9))).astype(jnp.int32)
+    )
+    mode = jnp.clip(mode, 0, 3)
+    theta = jax.random.uniform(k2, (b,), minval=-rot_max, maxval=rot_max)
+    do_t = jax.random.bernoulli(k3, trans_prob, (b,))
+    tx = jnp.round(jax.random.uniform(k4, (b,), minval=-trans_max,
+                                      maxval=trans_max)) * do_t
+    ty = jnp.round(jax.random.uniform(k5, (b,), minval=-trans_max,
+                                      maxval=trans_max)) * do_t
+    return {"mode": mode, "theta": theta, "tx": tx, "ty": ty}
+
+
+def apply_geo_batch(
+    images,
+    rows,
+    mask,
+    params,
+    img_w: int = 512,
+    img_h: int = 384,
+    fill: float = -1.0,
+):
+    """Apply per-image flip+rotate+translate (from `sample_geo_params`
+    or hand-built, for tests) as ONE composed affine per image.
+
+    The image is warped with a single bilinear resample; the raw ellipse
+    rows are remapped in NATIVE (img_w x img_h) coordinates exactly like
+    the reference's flip/rotate/translate label math — when the stored
+    frames are resized (Hr, Wr != img_h, img_w), the warp is the native
+    affine conjugated into resized space, so image and labels stay
+    consistent (an affine maps ellipses to ellipses; rigid in native
+    space means semi-axes are untouched).
+
+    images: (B, Hr, Wr, C) float (inception-scaled; `fill` is the
+        border value — -1.0 == black, matching cv2's zero border on
+        raw pixels).
+    rows: (B, N, 6) raw [cx, cy, a, b, angle_deg, rings] in native
+        coordinates; mask: (B, N) slot validity.
+    Returns (images_aug, rows_aug).
+    """
+    hr, wr = images.shape[1], images.shape[2]
+    mode = params["mode"]
+    theta = params["theta"]
+    tx = params["tx"]
+    ty = params["ty"]
+
+    vflip = (mode == 1) | (mode == 3)
+    hflip = (mode == 2) | (mode == 3)
+    fx = jnp.where(hflip, -1.0, 1.0)
+    ox_f = jnp.where(hflip, float(img_w), 0.0)
+    fy = jnp.where(vflip, -1.0, 1.0)
+    oy_f = jnp.where(vflip, float(img_h), 0.0)
+
+    th = jnp.deg2rad(theta)
+    c, s = jnp.cos(th), jnp.sin(th)
+    cx0, cy0 = img_w / 2.0, img_h / 2.0
+
+    # forward native affine p' = A p + o  with A = R diag(fx, fy),
+    # o = R (f_off - ctr) + ctr + t ; R = [[c, s], [-s, c]] (cv2's
+    # y-down screen convention, like rotate_image_and_labels above)
+    a11 = c * fx
+    a12 = s * fy
+    a21 = -s * fx
+    a22 = c * fy
+    dox = ox_f - cx0
+    doy = oy_f - cy0
+    o_x = c * dox + s * doy + cx0 + tx
+    o_y = -s * dox + c * doy + cy0 + ty
+
+    # ---- labels (native coords) ----
+    cx, cy, aa, bb, ang, rings = (rows[..., k] for k in range(6))
+    ncx = a11[:, None] * cx + a12[:, None] * cy + o_x[:, None]
+    ncy = a21[:, None] * cx + a22[:, None] * cy + o_y[:, None]
+    ang_f = jnp.where(
+        mode[:, None] == 1, -ang,
+        jnp.where(mode[:, None] == 2, 180.0 - ang,
+                  jnp.where(mode[:, None] == 3, 180.0 + ang, ang)),
+    )
+    nang = _cleanup_angle(ang_f + theta[:, None])
+    new_rows = jnp.stack([ncx, ncy, aa, bb, nang, rings], axis=-1)
+    new_rows = jnp.where(mask[..., None], new_rows, rows)
+
+    # ---- image warp (resized coords) ----
+    # p_src_r = D_n2r . A^-1 . (D_r2n p_dst_r - o); fold the diagonal
+    # scale factors into the 2x2 coefficients + offset
+    det = a11 * a22 - a12 * a21  # = fx * fy = +/-1
+    i11 = a22 / det
+    i12 = -a12 / det
+    i21 = -a21 / det
+    i22 = a11 / det
+    sx_r2n = img_w / wr
+    sy_r2n = img_h / hr
+    # x_src_r = (i11 * sx_r2n * xd + i12 * sy_r2n * yd
+    #            - (i11 o_x + i12 o_y)) / sx_r2n  etc.
+    c11 = i11
+    c12 = i12 * sy_r2n / sx_r2n
+    c21 = i21 * sx_r2n / sy_r2n
+    c22 = i22
+    # offsets in dst resized coords such that
+    # x_src = c11 (xd - px) + c12 (yd - py) form needs a common origin;
+    # expand instead: x_src = c11 xd + c12 yd + bx
+    bx = -(i11 * o_x + i12 * o_y) / sx_r2n
+    by = -(i21 * o_x + i22 * o_y) / sy_r2n
+
+    def warp_one(img, c11i, c12i, c21i, c22i, bxi, byi):
+        h, w = img.shape[0], img.shape[1]
+        yd = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        xd = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        xs = c11i * xd + c12i * yd + bxi
+        ys = c21i * xd + c22i * yd + byi
+        out = _bilinear_sample(img, ys, xs)
+        inb = ((ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1))
+        return jnp.where(inb[..., None], out, fill)
+
+    new_images = jax.vmap(warp_one)(images, c11, c12, c21, c22, bx, by)
+    return new_images, new_rows
+
+
+def geo_augment_batch(
+    images,
+    rows,
+    mask,
+    key,
+    img_w: int = 512,
+    img_h: int = 384,
+    rot_max: float = 20.0,
+    trans_max: float = 40.0,
+    trans_prob: float = 0.9,
+    flip_prob: float = 0.75,
+    fill: float = -1.0,
+):
+    """Batched train-time geometric augmentation WITH label remap — the
+    TPU-first replacement for the reference's offline 42x dataset
+    inflation (`augment_preproc.py:74-95`).  Samples per-image flip /
+    rotation / translation and applies them as one fused affine; see
+    `sample_geo_params` / `apply_geo_batch`."""
+    params = sample_geo_params(key, images.shape[0], rot_max, trans_max,
+                               trans_prob, flip_prob)
+    return apply_geo_batch(images, rows, mask, params, img_w, img_h, fill)
+
+
 def translate_image_and_labels(img, rows, mask, tx, ty):
     """Shift image by (tx, ty) pixels (zero fill) and move centers
     (reference `translate_image`, `augmentation.py:216-239`,

@@ -96,6 +96,13 @@ def train_network(
     if mc.pretrained:
         # Keras pretrained backbone (reference MobileNet imagenet path,
         # `models.py:349-355`); a checkpoint restore below still wins.
+        if mc.backbone not in ("MobileNet", "MobileNetTiny"):
+            raise ValueError(
+                f"pretrained Keras import is implemented for the "
+                f"MobileNet family only, not backbone={mc.backbone!r} "
+                f"(the reference's Xception headline runs train from "
+                f"scratch: models.py:359 passes weights=None)"
+            )
         from spnet_tpu.io.keras_import import (
             apply_backbone_weights,
             load_keras_mobilenet,
@@ -126,15 +133,24 @@ def train_network(
     if device_data is None:
         # budget against v5e-class HBM (16 GB): dataset + the permuted
         # epoch copy + val, leaving ~4 GB for params/opt/activations
+        # train set (+ its permuted epoch copy) is sharded over the mesh;
+        # the val set is device_put WITHOUT sharding, so it lands whole
+        # on device 0 and must be budgeted unsharded
         n_dev = mesh.size if mesh is not None else 1
         device_data = (
-            (2 * train_ds.x.nbytes + val_ds.x.nbytes) / n_dev
+            2 * train_ds.x.nbytes / n_dev + val_ds.x.nbytes
             < 12 * 1024**3
         )
+    geo = bool(getattr(tc, "geo_augment", False))
+    if geo and train_ds.rows is None:
+        raise ValueError("geo_augment requires the dataset to carry raw "
+                         "ellipse rows (Dataset.rows); rebuild it with a "
+                         "current build_dataset/synthetic_dataset")
     train_step = make_train_step(
         model, cfg.loss_weights, mc.loss_type, l2_reg=mc.l2_reg,
         augment=tc.augment, blur_prob=tc.blur_prob,
         indexed="epoch" if device_data else False, mesh=mesh,
+        geo_augment=geo, grid=grid,
     )
     predict_fn = make_predict_step(model)
     # full-val component losses from the (normalized) predictions, like
@@ -155,6 +171,9 @@ def train_network(
         )
         x_all = put(jnp.asarray(train_ds.x))
         y_all = put(jnp.asarray(train_ds.y))
+        if geo:
+            rows_all = put(jnp.asarray(train_ds.rows))
+            mask_all = put(jnp.asarray(train_ds.row_mask))
         x_val_dev = jax.device_put(jnp.asarray(val_ds.x))
         if verbose:
             print(f"    device-resident dataset: "
@@ -201,10 +220,16 @@ def train_network(
                         seed=tc.seed + epoch)
             )).astype(np.int32)
             nb = idx_mat.shape[0]
-            state, losses = train_step(
-                state, x_all, y_all, jnp.asarray(idx_mat),
-                jax.random.fold_in(rng, epoch),
-            )
+            if geo:
+                state, losses = train_step(
+                    state, x_all, y_all, rows_all, mask_all,
+                    jnp.asarray(idx_mat), jax.random.fold_in(rng, epoch),
+                )
+            else:
+                state, losses = train_step(
+                    state, x_all, y_all, jnp.asarray(idx_mat),
+                    jax.random.fold_in(rng, epoch),
+                )
             ep_loss = float(jnp.mean(losses))
         else:
             loss_parts, nb = [], 0  # device scalars; sync once per epoch
@@ -217,9 +242,15 @@ def train_network(
                                    seed=tc.seed + epoch):
                     xb = jnp.asarray(train_ds.x[idx])
                     yb = jnp.asarray(train_ds.y[idx])
+                    extra = ()
+                    if geo:
+                        extra = (jnp.asarray(train_ds.rows[idx]),
+                                 jnp.asarray(train_ds.row_mask[idx]))
                     if mesh is not None:
-                        xb, yb = shard_batch(mesh, xb, yb)
-                    yield xb, yb
+                        sharded = shard_batch(mesh, xb, yb, *extra)
+                        xb, yb, extra = (sharded[0], sharded[1],
+                                         sharded[2:])
+                    yield (xb, yb) + extra
 
             import collections
 
@@ -229,19 +260,19 @@ def train_network(
                 queue.append(nxt)
                 if len(queue) < 2:
                     continue
-                xb, yb = queue.popleft()
+                batch = queue.popleft()
                 step_rng = jax.random.fold_in(
                     rng, epoch * steps_per_epoch + nb
                 )
-                state, metrics = train_step(state, xb, yb, step_rng)
+                state, metrics = train_step(state, *batch, step_rng)
                 loss_parts.append(metrics["loss"])
                 nb += 1
             while queue:
-                xb, yb = queue.popleft()
+                batch = queue.popleft()
                 step_rng = jax.random.fold_in(
                     rng, epoch * steps_per_epoch + nb
                 )
-                state, metrics = train_step(state, xb, yb, step_rng)
+                state, metrics = train_step(state, *batch, step_rng)
                 loss_parts.append(metrics["loss"])
                 nb += 1
             ep_loss = (float(np.mean(jax.device_get(loss_parts)))

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from spnet_tpu.config import LossWeights
-from spnet_tpu.ops.augment import augment_on_the_fly
+from spnet_tpu.ops.augment import augment_on_the_fly, geo_augment_batch
 from spnet_tpu.ops.losses import loss_components, spnet_loss_pallas
 from spnet_tpu.train.state import TrainState
 
@@ -76,8 +76,20 @@ def make_train_step(
     l2_scope: str = "reference",
     indexed: bool = False,
     mesh=None,
+    geo_augment: bool = False,
+    grid=None,
 ):
     """Returns train_step(state, x, y, rng) -> (state, metrics).
+
+    With `geo_augment=True` (requires `grid`), every step additionally
+    applies random flip / rotate / translate WITH on-device label
+    re-encode (ops/augment.geo_augment_batch + ops/grid_encode) — the
+    TPU-first replacement for the reference's offline 42x dataset
+    inflation.  The step signatures then take the padded raw rows and
+    their mask after `y`:  train_step(state, x, y, rows, mask, rng) and
+    train_epoch(state, x_all, y_all, rows_all, mask_all, idx_mat, rng).
+    The stored `y` is ignored in that case (recomputed from the
+    transformed rows each step).
 
     With `indexed=True` the signature becomes
     train_step(state, x_all, y_all, idx, rng): the FULL dataset lives in
@@ -93,9 +105,20 @@ def make_train_step(
     all-reduces over ICI.  Semantics are identical to single-device
     (global-batch BN, global grad mean)."""
 
-    def _core(state: TrainState, x, y, rng):
+    if geo_augment and grid is None:
+        raise ValueError("geo_augment=True requires the GridSpec")
+
+    def _core(state: TrainState, x, y, rng, rows=None, mask=None):
         x = _prep_x(x)
-        aug_rng, dropout_rng = jax.random.split(rng)
+        aug_rng, geo_rng, dropout_rng = jax.random.split(rng, 3)
+        if geo_augment:
+            from spnet_tpu.ops.grid_encode import encode_batch_device
+
+            x, rows = geo_augment_batch(
+                x, rows, mask, geo_rng,
+                img_w=grid.img_width, img_h=grid.img_height,
+            )
+            y = encode_batch_device(rows, mask, grid)
         if augment:
             x = augment_on_the_fly(x, aug_rng, blur_prob=blur_prob)
 
@@ -141,7 +164,8 @@ def make_train_step(
 
     if indexed == "epoch":
 
-        def train_epoch(state, x_all, y_all, idx_mat, rng):
+        def _epoch_core(state, x_all, y_all, idx_mat, rng,
+                        rows_all=None, mask_all=None):
             """One WHOLE epoch as a single device program: permute the
             device-resident dataset into (steps, batch, ...) epoch order
             ONCE, then lax.scan consumes contiguous slices — one host
@@ -154,25 +178,49 @@ def make_train_step(
             flat = idx_mat.reshape(-1)
             x_ep = x_all[flat].reshape((steps, bs) + x_all.shape[1:])
             y_ep = y_all[flat].reshape((steps, bs) + y_all.shape[1:])
+            scan_xs = {"x": x_ep, "y": y_ep, "i": jnp.arange(steps)}
+            if geo_augment:
+                scan_xs["rows"] = rows_all[flat].reshape(
+                    (steps, bs) + rows_all.shape[1:]
+                )
+                scan_xs["mask"] = mask_all[flat].reshape(
+                    (steps, bs) + mask_all.shape[1:]
+                )
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 from spnet_tpu.parallel.mesh import DATA_AXIS
 
                 s = NamedSharding(mesh, P(None, DATA_AXIS))
-                x_ep = jax.lax.with_sharding_constraint(x_ep, s)
-                y_ep = jax.lax.with_sharding_constraint(y_ep, s)
+                scan_xs = {
+                    k: (jax.lax.with_sharding_constraint(v, s)
+                        if k != "i" else v)
+                    for k, v in scan_xs.items()
+                }
 
             def body(carry, inp):
                 st = carry
-                xb, yb, i = inp
-                st, m = _core(st, xb, yb, jax.random.fold_in(rng, i))
+                st, m = _core(
+                    st, inp["x"], inp["y"],
+                    jax.random.fold_in(rng, inp["i"]),
+                    rows=inp.get("rows"), mask=inp.get("mask"),
+                )
                 return st, m["loss"]
 
-            state, losses = jax.lax.scan(
-                body, state, (x_ep, y_ep, jnp.arange(steps))
-            )
+            state, losses = jax.lax.scan(body, state, scan_xs)
             return state, losses
+
+        if geo_augment:
+
+            def train_epoch_geo(state, x_all, y_all, rows_all, mask_all,
+                                idx_mat, rng):
+                return _epoch_core(state, x_all, y_all, idx_mat, rng,
+                                   rows_all, mask_all)
+
+            return jax.jit(train_epoch_geo, donate_argnums=(0,))
+
+        def train_epoch(state, x_all, y_all, idx_mat, rng):
+            return _epoch_core(state, x_all, y_all, idx_mat, rng)
 
         return jax.jit(train_epoch, donate_argnums=(0,))
 
@@ -182,6 +230,13 @@ def make_train_step(
             return _core(state, x_all[idx], y_all[idx], rng)
 
         return jax.jit(train_step_indexed, donate_argnums=(0,))
+
+    if geo_augment:
+
+        def train_step_geo(state, x, y, rows, mask, rng):
+            return _core(state, x, y, rng, rows=rows, mask=mask)
+
+        return jax.jit(train_step_geo, donate_argnums=(0,))
 
     return jax.jit(_core, donate_argnums=(0,))
 

@@ -315,3 +315,43 @@ def test_multihost_shard_partition(tmp_path):
     assert len(set(seen)) == len(seen)  # disjoint
     # same global order -> shard 0 holds every 3rd file of the full list
     assert shards[0].file_list == full.file_list[0::3]
+
+
+@pytest.mark.slow
+def test_geo_augment_trains(tmp_path):
+    """Train-time geometric augmentation (on-device flip/rotate/translate
+    + label re-encode) runs through both the whole-epoch-scan and the
+    host-fed paths and the loss decreases."""
+    from spnet_tpu.data.dataset import synthetic_dataset
+
+    cfg = _tiny_cfg()
+    cfg = ExperimentConfig(
+        grid=cfg.grid, model=cfg.model,
+        train=TrainConfig(batch_size=8, epochs=3, lr_max=2e-3,
+                          augment=True, geo_augment=True, save_every=99,
+                          seed=0),
+    )
+    train_ds = synthetic_dataset(32, cfg.grid, seed=3,
+                                 input_size=cfg.model.input_size,
+                                 batch_size=8)
+    val_ds = synthetic_dataset(8, cfg.grid, seed=901,
+                               input_size=cfg.model.input_size)
+    assert train_ds.rows is not None and train_ds.row_mask is not None
+
+    # device-resident whole-epoch-scan path
+    state, model, hist = train_network(
+        cfg, train_ds, val_ds, log_dir=str(tmp_path / "geo_dev"),
+        ckpt_dir=None, render_overlays=False, device_data=True, verbose=0,
+    )
+    assert len(hist) == 3
+    assert np.isfinite(hist[-1]["train_loss"])
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+
+    # host-fed per-step path
+    state, model, hist = train_network(
+        cfg, train_ds, val_ds, log_dir=str(tmp_path / "geo_host"),
+        ckpt_dir=None, render_overlays=False, device_data=False,
+        verbose=0,
+    )
+    assert len(hist) == 3
+    assert np.isfinite(hist[-1]["train_loss"])

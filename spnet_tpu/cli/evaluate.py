@@ -36,6 +36,16 @@ def main(argv=None):
     evaluate_network(cfg, state, model, ds, log_dir=args.logdir,
                      compute_map=not args.no_map)
 
+    # post-evaluation weights artifact (reference saves
+    # `eval_end_weights.hdf5` after evaluating, evaluate_spnet.py:118-120)
+    import os
+
+    from spnet_tpu.io.checkpoint import save_checkpoint
+
+    out_dir = os.path.join(args.logdir, "eval_end_weights")
+    save_checkpoint(out_dir, state, cfg)
+    print(f"eval-end weights + config saved to {out_dir}")
+
 
 if __name__ == "__main__":
     main()

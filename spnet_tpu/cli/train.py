@@ -51,6 +51,9 @@ def main(argv=None):
                         "flip/rotate/translate with on-device label "
                         "re-encode) — replaces offline augment-preproc "
                         "dataset inflation")
+    p.add_argument("--use_tb", action="store_true",
+                   help="emit TensorBoard event files (scalars + overlay "
+                        "image summaries) into <logdir>/tb")
     p.add_argument("--name", default="")
     p.add_argument("-r", "--random_seed", type=int, default=1)
     p.add_argument("--no-eval", action="store_true",

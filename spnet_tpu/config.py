@@ -227,6 +227,10 @@ class TrainConfig:
     #: with on-device label re-encode) — the TPU-first replacement for
     #: the reference's offline 42x dataset inflation (augment_preproc.py).
     geo_augment: bool = False
+    #: Emit TensorBoard event files (scalar curves + per-epoch overlay
+    #: image summaries) into <log_dir>/tb — reference `use_tb`
+    #: (`callbacks.py:88-90,239-248`); default off like the reference.
+    use_tb: bool = False
     save_every: int = 5  # epochs between checkpoints (`callbacks.py:37`)
     # 1-cycle shape parameters (reference `callbacks.py:366`)
     onecycle_pct_start: float = 0.3

@@ -96,19 +96,19 @@ def train_network(
     if mc.pretrained:
         # Keras pretrained backbone (reference MobileNet imagenet path,
         # `models.py:349-355`); a checkpoint restore below still wins.
-        if mc.backbone not in ("MobileNet", "MobileNetTiny"):
+        if mc.backbone not in ("MobileNet", "MobileNetTiny", "Xception"):
             raise ValueError(
-                f"pretrained Keras import is implemented for the "
-                f"MobileNet family only, not backbone={mc.backbone!r} "
-                f"(the reference's Xception headline runs train from "
-                f"scratch: models.py:359 passes weights=None)"
+                f"pretrained Keras import is implemented for MobileNet "
+                f"and Xception, not backbone={mc.backbone!r} (the "
+                f"reference's Xception headline runs train from scratch: "
+                f"models.py:359 passes weights=None)"
             )
         from spnet_tpu.io.keras_import import (
             apply_backbone_weights,
-            load_keras_mobilenet,
+            load_keras_backbone,
         )
 
-        bb_p, bb_s = load_keras_mobilenet(mc.pretrained)
+        bb_p, bb_s = load_keras_backbone(mc.pretrained, mc.backbone)
         p, s = apply_backbone_weights(state.params, state.batch_stats,
                                       bb_p, bb_s)
         state = state.replace(params=p, batch_stats=s)
@@ -141,6 +141,10 @@ def train_network(
             2 * train_ds.x.nbytes / n_dev + val_ds.x.nbytes
             < 12 * 1024**3
         )
+        if not device_data:
+            # dataset larger than HBM: stream fixed-size chunks instead
+            # of falling all the way back to per-step host feeding
+            device_data = "chunked"
     geo = bool(getattr(tc, "geo_augment", False))
     if geo and train_ds.rows is None:
         raise ValueError("geo_augment requires the dataset to carry raw "
@@ -162,7 +166,33 @@ def train_network(
                                        mc.loss_type)
     )
 
-    if device_data:
+    streamer = None
+    if device_data == "chunked":
+        from spnet_tpu.parallel.mesh import batch_sharding
+        from spnet_tpu.train.chunked import ChunkStreamer, plan_chunks
+
+        put = (
+            (lambda a: jax.device_put(a, batch_sharding(mesh)))
+            if mesh is not None else jax.device_put
+        )
+        n_dev = mesh.size if mesh is not None else 1
+        budget = int(12 * 1024**3 - val_ds.x.nbytes / n_dev)
+        item_bytes = train_ds.x.nbytes // max(n_train, 1)
+        chunk_len, n_chunks = plan_chunks(
+            n_train, item_bytes, tc.batch_size, budget * n_dev
+        )
+        arrays = (train_ds.x, train_ds.y)
+        if geo:
+            arrays = arrays + (train_ds.rows, train_ds.row_mask)
+        streamer = ChunkStreamer(arrays, chunk_len, n_chunks, put=put)
+        x_val_dev = jax.device_put(jnp.asarray(val_ds.x))
+        if verbose:
+            print(f"    chunk-streamed dataset: "
+                  f"{train_ds.x.nbytes / 1e9:.2f} GB in {n_chunks} "
+                  f"chunks of {chunk_len} frames "
+                  f"({chunk_len * item_bytes / 1e9:.2f} GB each, "
+                  f"1-chunk-ahead prefetch)")
+    elif device_data:
         from spnet_tpu.parallel.mesh import batch_sharding
 
         put = (
@@ -188,6 +218,11 @@ def train_network(
                   "device-resident mode)")
 
     log = LossLog(log_dir)
+    tb = None
+    if getattr(tc, "use_tb", False):
+        from spnet_tpu.io.tb import TBWriter
+
+        tb = TBWriter(f"{log_dir}/tb")
     history = []
     frozen_left = tc.frozen_epochs if tc.freeze_fac > 0 else 0
 
@@ -213,7 +248,14 @@ def train_network(
 
     for epoch in range(start_epoch, tc.epochs):
         t0 = time.time()
-        if device_data:
+        if device_data == "chunked":
+            from spnet_tpu.train.chunked import run_chunked_epoch
+
+            state, ep_loss, nb = run_chunked_epoch(
+                train_step, state, streamer, tc.batch_size,
+                rng, epoch, tc.seed, geo=geo,
+            )
+        elif device_data:
             # single device program for the whole epoch
             idx_mat = np.stack(list(
                 batches(n_train, tc.batch_size, shuffle=True,
@@ -354,6 +396,28 @@ def train_network(
                                    num_draw=40, log_dir=log_dir)
         except Exception as e:
             print(f"    (plot/render skipped: {e})")
+        if tb is not None:
+            for tag, v in (("loss/train", ep_loss),
+                           ("loss/val", comps_np["total"]),
+                           ("metrics/ring_acc", st.ring_acc),
+                           ("metrics/class_acc", st.class_acc),
+                           ("metrics/mean_pix_err", st.mean_pix_err),
+                           ("perf/img_per_sec", img_per_sec),
+                           ("lr", float(state.schedule(state.step)))):
+                tb.add_scalar(tag, v, epoch)
+            try:  # per-epoch overlay image (reference callbacks.py:239-248)
+                import os
+
+                from PIL import Image as _Image
+
+                src = os.path.join(log_dir, "steelpan_pred_00000.png")
+                if not os.path.exists(src):
+                    src = os.path.join(log_dir, "progress.png")
+                if os.path.exists(src):
+                    arr = np.asarray(_Image.open(src).convert("RGB"))
+                    tb.add_image("val/overlay", arr, epoch)
+            except Exception as e:
+                print(f"    (tb image skipped: {e})")
 
         if ckpt_dir and ((epoch + 1) % tc.save_every == 0
                          or epoch == tc.epochs - 1):

@@ -293,3 +293,51 @@ def test_remat_backbone_identical():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_keras_xception_import_parity(tmp_path):
+    """Xception pretrained-weight import: weights mapped from a Keras
+    Xception(include_top=False) must reproduce the Keras outputs through
+    the whole entry/middle/exit stack (random weights stand in for the
+    imagenet file, which this offline environment cannot download — see
+    io/keras_import.load_keras_backbone for procurement)."""
+    keras = pytest.importorskip("keras")
+    import jax.numpy as jnp
+
+    from spnet_tpu.io.keras_import import (
+        keras_xception_to_flax,
+        load_keras_backbone,
+    )
+    from spnet_tpu.models.xception import Xception
+
+    km = keras.applications.Xception(include_top=False, weights=None,
+                                     input_shape=(96, 96, 3))
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    yk = np.asarray(km(x, training=False))
+
+    bb_p, bb_s = keras_xception_to_flax(km)
+    fm = Xception(dtype=jnp.float32)
+    yf = np.asarray(fm.apply({"params": bb_p, "batch_stats": bb_s},
+                             jnp.asarray(x), train=False))
+    assert yk.shape == yf.shape
+    # random-init Xception outputs are ~1e-5 in magnitude (36 relu/BN
+    # layers shrink activations), so compare against the output SCALE
+    # (worst element vs max) plus overall direction (cosine) instead of
+    # elementwise relative error
+    assert np.abs(yk - yf).max() / (np.abs(yk).max() + 1e-30) < 0.05
+    cos = float(
+        (yk * yf).sum()
+        / (np.linalg.norm(yk) * np.linalg.norm(yf) + 1e-30)
+    )
+    assert cos > 0.999, cos
+
+    # weights-file round trip through the dispatching loader
+    wpath = str(tmp_path / "xc.weights.h5")
+    km.save_weights(wpath)
+    bb_p2, _ = load_keras_backbone(wpath, "Xception")
+    np.testing.assert_array_equal(
+        np.asarray(bb_p2["middle3"]["sep2"]["pointwise"]["kernel"]),
+        np.asarray(bb_p["middle3"]["sep2"]["pointwise"]["kernel"]),
+    )

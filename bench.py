@@ -26,6 +26,10 @@ BASELINE_IMG_PER_SEC = 126.6  # RTX 2080 Ti, BASELINE.md
 
 def main(batch_size: int = 128, steps_per_epoch: int = 160,
          n_data: int = 2048, warmup_steps: int = 32) -> dict:
+    # SPNET_BENCH_BS overrides the batch size (same total images timed)
+    total_imgs = batch_size * steps_per_epoch
+    batch_size = int(os.environ.get("SPNET_BENCH_BS", batch_size))
+    steps_per_epoch = max(1, total_imgs // batch_size)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,12 +42,17 @@ def main(batch_size: int = 128, steps_per_epoch: int = 160,
     from spnet_tpu.train.steps import make_train_step
 
     grid = GridSpec()
-    # SPNET_BENCH_PLANAR=0/1 overrides the stem layout for A/B runs on
-    # the real chip; default is the shipped ModelConfig default.
+    # SPNET_BENCH_PLANAR / SPNET_BENCH_FUSED = 0/1 override the stem
+    # variant for A/B runs on the real chip; default is the shipped
+    # ModelConfig default.
+    over = {}
     planar_env = os.environ.get("SPNET_BENCH_PLANAR", "")
-    mc = ModelConfig(backbone="Xception", input_size=331,
-                     **({"stem_planar": planar_env == "1"}
-                        if planar_env else {}))
+    if planar_env:
+        over["stem_planar"] = planar_env == "1"
+    fused_env = os.environ.get("SPNET_BENCH_FUSED", "")
+    if fused_env:
+        over["stem_fused"] = fused_env == "1"
+    mc = ModelConfig(backbone="Xception", input_size=331, **over)
     model = build_model(mc, num_outputs=grid.num_outputs)
 
     rng = np.random.default_rng(0)

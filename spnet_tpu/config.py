@@ -194,6 +194,13 @@ class ModelConfig:
     #: outputs to 1e-5); the default is whichever measured faster on the
     #: real chip (see VALIDATION.md §1).
     stem_planar: bool = False
+    #: Space-to-depth fused entry: conv1 + avgpool folded into one 4x4
+    #: stride-2 patch-einsum (models/spnet.py:_fused) — removes the
+    #: 331^2x3 conv1 intermediate that made the NHWC stem copy-bound at
+    #: C in {1,3} (round-1 profile).  Numerical twin of the NHWC stem
+    #: (same param tree; exact in f32).  Default set by the measured
+    #: A/B on real TPU (VALIDATION.md §1).
+    stem_fused: bool = False
     #: Optional path to Keras pretrained backbone weights (.h5/.keras);
     #: currently supported for MobileNet (the reference's imagenet path,
     #: `models.py:349-355`).  Empty = train from scratch, which is what

@@ -114,6 +114,54 @@ def _planar_conv3x3(planes, kernel, compute_dtype):
     return jnp.stack(outs, axis=1).astype(compute_dtype)
 
 
+def _fold_conv_pool_kernel(k1):
+    """Fold a 3x3 stride-1 SAME conv followed by a 2x2 stride-2 VALID
+    average pool into ONE 4x4 stride-2 kernel.
+
+    pool(conv(x)) at output pixel (p, q) averages conv outputs at
+    (2p+s, 2q+t), s,t in {0,1}, each reading x[2p+s-1 : 2p+s+2] — a 4x4
+    input window anchored at (2p-1, 2q-1).  So the composite is exactly a
+    4x4 conv with stride 2 and kernel
+        k4[U, V] = 1/4 * sum_{s,t in {0,1}} k1[U-s, V-t]   (valid taps).
+    Linear-op fusion, no approximation."""
+    cin, cf = k1.shape[2], k1.shape[3]
+    k4 = jnp.zeros((4, 4, cin, cf), k1.dtype)
+    for s in range(2):
+        for t in range(2):
+            k4 = k4.at[s : s + 3, t : t + 3].add(k1)
+    return k4 * 0.25
+
+
+def _entry_patches(x):
+    """Space-to-depth patch extraction for the fused entry: 4x4 windows
+    at stride 2 (anchored at (-1, -1), zero-padded like SAME), stacked on
+    the channel axis.
+
+    (B, H, W, C) -> (B, HP, WP, 16*C) with HP = (H-2)//2 + 1.  Channel
+    index layout: ((U*4 + V)*C + c) — matches
+    `_fold_conv_pool_kernel(...).reshape(16*C, filters)`.
+
+    TPU motivation (round-1 profile, VERDICT r2 item 3): at C=1 the NHWC
+    conv tensors put the 1-wide channel dim on the 128-lane axis, so the
+    331x331 stem intermediates are copy-bound (up to 128x padded lanes).
+    The patch layout hands the MXU a 16-lane operand at QUARTER the
+    spatial size, and the 331^2 x 3 conv1 intermediate never exists."""
+    b, h, w, c = x.shape
+    hp = (h - 2) // 2 + 1
+    wp = (w - 2) // 2 + 1
+    pad_b = max(0, 2 * hp - (h - 1))
+    pad_r = max(0, 2 * wp - (w - 1))
+    xp = jnp.pad(x, ((0, 0), (1, pad_b), (1, pad_r), (0, 0)))
+    return jnp.concatenate(
+        [
+            xp[:, u : u + 2 * hp : 2, v : v + 2 * wp : 2, :]
+            for u in range(4)
+            for v in range(4)
+        ],
+        axis=-1,
+    )
+
+
 def _planar_avgpool2(planes):
     """2x2 stride-2 VALID average pool on (B, C, H, W) planes."""
     h2 = (planes.shape[2] - 2) // 2 + 1
@@ -142,9 +190,12 @@ class Stem(nn.Module):
     filters: int = 3
     dtype: Any = jnp.bfloat16
     planar: bool = True
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fused:
+            return self._fused(x, train)
         if not self.planar:
             return self._nhwc(x, train)
         b, h, w, c_in = x.shape
@@ -170,6 +221,52 @@ class Stem(nn.Module):
         skip = _planar_avgpool2(planes)  # (B, 1, H/2, W/2)
         p = p + skip
         return jnp.transpose(p, (0, 2, 3, 1))  # NHWC for the backbone
+
+    def _fused(self, x, train):
+        """Space-to-depth fused entry: conv1 + avgpool as ONE 4x4/2
+        patch-einsum (see `_fold_conv_pool_kernel`), residual skip
+        recovered from the same patch tensor — the 331^2 x 3 conv1
+        intermediate and the separate pooled-input read both disappear.
+        Same param/batch-stat tree and same math as the NHWC twin
+        (exact in float32; bf16 differs only in rounding order)."""
+        b, h, w, c_in = x.shape
+        k1 = _KernelHolder((3, 3, c_in, self.filters), name="colorizer")()
+        k4 = _fold_conv_pool_kernel(k1).reshape(16 * c_in, self.filters)
+        patches = _entry_patches(x.astype(self.dtype))  # (B,HP,WP,16C)
+        p = jnp.einsum(
+            "bhwp,pf->bhwf",
+            patches,
+            k4.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+
+        def bn(t, name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.99,
+                epsilon=1e-3, dtype=self.dtype, name=name,
+            )(t)
+
+        p = leaky_relu_01(bn(p, "bn1"))
+        p = nn.Conv(
+            self.filters, (3, 3), padding="SAME", use_bias=False,
+            dtype=self.dtype, name="conv2",
+        )(p)
+        p = leaky_relu_01(bn(p, "bn2"))
+        p = nn.Conv(
+            self.filters, (3, 3), padding="SAME", use_bias=False,
+            dtype=self.dtype, name="conv3",
+        )(p)
+        p = bn(p, "bn3")
+        # residual skip = 2x2/2 avg pool of the input: exactly the mean
+        # of patch taps (U,V) in {1,2}^2 (rows 2p, 2p+1 / cols 2q, 2q+1)
+        taps = [
+            patches[..., (u * 4 + v) * c_in : (u * 4 + v + 1) * c_in]
+            for u in (1, 2)
+            for v in (1, 2)
+        ]
+        skip = ((taps[0].astype(jnp.float32) + taps[1] + taps[2]
+                 + taps[3]) / 4.0).astype(self.dtype)
+        return p + skip
 
     def _nhwc(self, x, train):
         inputs = x
@@ -229,6 +326,7 @@ class SPNet(nn.Module):
     dtype: Any = jnp.bfloat16
     remat: bool = False
     stem_planar: bool = False
+    stem_fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -236,7 +334,7 @@ class SPNet(nn.Module):
 
         x = x.astype(self.dtype)
         x = Stem(dtype=self.dtype, planar=self.stem_planar,
-                 name="stem")(x, train)
+                 fused=self.stem_fused, name="stem")(x, train)
         x = nn.Dropout(self.dropout_rate, deterministic=not train,
                        name="stem_dropout")(x)
         cls, kwargs, _ = _backbone_ctor(self.backbone, self.width_mult,
@@ -288,4 +386,5 @@ def build_model(cfg: ModelConfig, num_outputs: int = 576,
         dtype=jnp.dtype(cfg.compute_dtype),
         remat=cfg.remat,
         stem_planar=cfg.stem_planar,
+        stem_fused=cfg.stem_fused,
     )

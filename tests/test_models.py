@@ -206,6 +206,53 @@ def test_planar_stem_matches_nhwc_twin():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_fused_stem_matches_nhwc_twin():
+    """The space-to-depth fused entry (conv1 + avgpool folded into one
+    4x4/2 patch-einsum, skip recovered from the patches) must be a
+    numerical and structural twin of the NHWC formulation: same param /
+    batch-stat trees and init, same outputs in eval AND train modes —
+    the fold is exact linear algebra, so float32 agreement is to ULP
+    scale.  Both odd (331-like) and even input sizes, and 3-channel
+    input, to pin the padding derivation."""
+    import jax
+    import jax.numpy as jnp
+
+    from spnet_tpu.models.spnet import Stem
+
+    rng = np.random.default_rng(1)
+    for h, c in ((65, 1), (64, 1), (33, 3)):
+        x = jnp.asarray(rng.normal(0, 1, (2, h, h, c)).astype(np.float32))
+        fused = Stem(dtype=jnp.float32, planar=False, fused=True)
+        nhwc = Stem(dtype=jnp.float32, planar=False)
+        vf = fused.init(jax.random.key(3), x, train=False)
+        vn = nhwc.init(jax.random.key(3), x, train=False)
+
+        pa = jax.tree_util.tree_leaves_with_path(vf)
+        pb = jax.tree_util.tree_leaves_with_path(vn)
+        assert [jax.tree_util.keystr(k) for k, _ in pa] == \
+               [jax.tree_util.keystr(k) for k, _ in pb]
+        for (_, la), (_, lb) in zip(pa, pb):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+        ye = fused.apply(vn, x, train=False)
+        yn = nhwc.apply(vn, x, train=False)
+        assert ye.shape == yn.shape == (2, (h - 2) // 2 + 1,
+                                        (h - 2) // 2 + 1, 3)
+        np.testing.assert_allclose(np.asarray(ye), np.asarray(yn),
+                                   rtol=1e-5, atol=1e-5)
+
+        yep, mp = fused.apply(vn, x, train=True, mutable=["batch_stats"])
+        ynp_, mn = nhwc.apply(vn, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(yep), np.asarray(ynp_),
+                                   rtol=1e-5, atol=1e-5)
+        for (_, la), (_, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(mp),
+            jax.tree_util.tree_leaves_with_path(mn),
+        ):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_keras_mobilenet_import_parity(tmp_path):
     """Pretrained-weight import (reference `models.py:349-355`): weights

@@ -30,7 +30,10 @@ def main():
     from spnet_tpu.train.steps import make_predict_step
 
     grid = GridSpec()
-    mc = ModelConfig(backbone="Xception", input_size=331)
+    mc = ModelConfig(
+        backbone="Xception", input_size=331,
+        stem_fused=os.environ.get("SPNET_BENCH_FUSED", "") == "1",
+    )
     model = build_model(mc, num_outputs=grid.num_outputs)
     state = create_train_state(
         model, jax.random.key(0),

@@ -32,6 +32,12 @@ def main(argv=None):
                         "(gen_fake_espi_hybrid.py): 0-6 antinodes/frame "
                         "with all-zeros captions for empty frames, blur "
                         "kernel {3,5}, no pixel dropout")
+    p.add_argument("--blur", choices=("auto", "on", "off"), default="auto",
+                   help="Gaussian blur of 30%% of frames.  'auto' = the "
+                        "variant's EFFECTIVE reference behavior: OFF for "
+                        "the primary generator (its blur_inplace discards "
+                        "the cv2 result, gen_fake_espi.py:257), ON for "
+                        "--hybrid.  'on' = the author's intended blur.")
     args = p.parse_args(argv)
 
     generate_dataset(
@@ -39,6 +45,7 @@ def main(argv=None):
         train_only=not args.all, batch=args.batch,
         bandpass=args.bandpass,
         variant="hybrid" if args.hybrid else "primary",
+        blur=None if args.blur == "auto" else args.blur == "on",
     )
 
 

@@ -212,6 +212,8 @@ def synthetic_dataset(
     input_size: int = 331,
     batch_size: int | None = None,
     uint8: bool = True,
+    blur: bool | None = None,
+    resize_method: str = "lanczos3",
 ) -> Dataset:
     """In-memory synthetic dataset: generator -> arrays, no PNG round
     trip.  Rendering AND resizing stay fused on device; only the final
@@ -232,12 +234,16 @@ def synthetic_dataset(
     if batch_size:
         num_frames = nearest_multiple(num_frames, batch_size)
 
-    @functools.partial(jax.jit, static_argnames=("size",))
-    def render_resized(arrays, size):
+    @functools.partial(jax.jit, static_argnames=("size", "method"))
+    def render_resized(arrays, size, method):
         imgs = render_frames(arrays)  # (B, H, W) f32 in [0, 255]
         if size:  # 0/None = the 'big' native-resolution convention
+            # default lanczos3 matches the reference's PIL ANTIALIAS
+            # downsampling (`utils.py:337`; ANTIALIAS == LANCZOS) —
+            # a triangle/linear filter smears the thin (2-4 px) ring
+            # bands that the ring-count regression depends on
             imgs = jax.image.resize(
-                imgs, (imgs.shape[0], size, size), method="linear"
+                imgs, (imgs.shape[0], size, size), method=method
             )
         return jnp.clip(imgs, 0, 255).astype(jnp.uint8)
 
@@ -245,9 +251,11 @@ def synthetic_dataset(
     gen_batch = 256
     for b0 in range(0, num_frames, gen_batch):
         nb = min(gen_batch, num_frames - b0)
-        scenes = [sample_scene(seed, b0 + i) for i in range(nb)]
+        scenes = [sample_scene(seed, b0 + i, blur=blur)
+                  for i in range(nb)]
         xs.append(np.asarray(
-            render_resized(scenes_to_arrays(scenes), input_size)
+            render_resized(scenes_to_arrays(scenes), input_size,
+                           resize_method)
         )[..., None])
         raw_rows = [np.array(s.caption_rows()).reshape(-1, 6)
                     for s in scenes]

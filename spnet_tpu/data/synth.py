@@ -30,8 +30,11 @@ Scene parameter distributions (reference lines cited inline):
           (`:164-165`); centers in-bounds; angle ~ U{1..179}; bbox
           non-overlap rejection, <= 2000 tries with wider re-draws
           (`:174-189`)
-  post:   blur prob 0.3 ksize in {3,7} (`augmentation.py:66-70`), noise
-          N(40,40) clipped (`:263`), 0/1 dropout mask (`:267`)
+  post:   blur prob 0.3 ksize in {3,7} — but the primary generator's
+          blur is a NO-OP in the reference (`gen_fake_espi.py:257` ->
+          `augmentation.py:66-70` discards the cv2 result), so the
+          effective default is NO blur (see `sample_scene(blur=...)`);
+          noise N(40,40) clipped (`:263`), 0/1 dropout mask (`:267`)
 """
 
 from __future__ import annotations
@@ -110,13 +113,24 @@ def _boxes_overlap(p, q):
     return not (p[2] < q[0] or p[0] > q[2] or p[3] < q[1] or p[1] > q[3])
 
 
-def sample_scene(seed: int, frame: int, variant: str = "primary") -> Scene:
+def sample_scene(seed: int, frame: int, variant: str = "primary",
+                 blur: bool | None = None) -> Scene:
     """Deterministic scene for one frame.
 
     variant='hybrid' reproduces the reference's OLDER generator
     (`/root/reference/gen_fake_espi_hybrid.py`): 0..6 antinodes per frame
     (vs 1..7), blur kernel {3, 5} (vs {3, 7}); its other deltas (no pixel
-    dropout, no bandpass variant) live in `render_frames`."""
+    dropout, no bandpass variant) live in `render_frames`.
+
+    blur: None = the variant's EFFECTIVE reference behavior.  The primary
+    generator's blur is a silent no-op — `blur_inplace` discards the
+    cv2.GaussianBlur result (`gen_fake_espi.py:257` ->
+    `augmentation.py:66-70`), so reference Dataset-A frames are NEVER
+    blurred — while the hybrid generator's blur is real
+    (`gen_fake_espi_hybrid.py:313-316` keeps the return value).  Pass
+    True/False to override (True = the primary author's INTENDED 30 %
+    blur).  The dice rolls are drawn either way so every other sampled
+    value (incl. noise_seed) is blur-setting-independent."""
     rng = np.random.default_rng(np.random.SeedSequence([seed, frame]))
 
     # waves
@@ -191,6 +205,10 @@ def sample_scene(seed: int, frame: int, variant: str = "primary") -> Scene:
     blur_sel = 0
     if rng.random() <= 0.3:
         blur_sel = 1 if rng.random() < 0.5 else 2
+    if blur is None:
+        blur = variant == "hybrid"  # primary's blur is a no-op (docstring)
+    if not blur:
+        blur_sel = 0
     noise_seed = int(rng.integers(0, 2**31 - 1))
 
     return Scene(
@@ -457,6 +475,7 @@ def generate_dataset(
     frame_start: int = 0,
     bandpass: str | None = None,
     variant: str = "primary",
+    blur: bool | None = None,
     verbose: bool = True,
 ) -> None:
     """Write `steelpan_%07d.png` + `.csv` pairs under Train/ (and Val/ for
@@ -479,7 +498,8 @@ def generate_dataset(
 
     for b0 in range(0, num_frames, batch):
         nb = min(batch, num_frames - b0)
-        scenes = [sample_scene(seed, frame_start + b0 + i, variant)
+        scenes = [sample_scene(seed, frame_start + b0 + i, variant,
+                               blur=blur)
                   for i in range(nb)]
         arrays = scenes_to_arrays(scenes)
         if real_pool is not None:

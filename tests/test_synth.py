@@ -30,6 +30,27 @@ def test_scene_determinism():
     assert (s1.cx != s3.cx).any() or s1.amp != s3.amp
 
 
+def test_primary_blur_is_noop_like_reference():
+    """The reference's primary generator never actually blurs: its
+    blur_inplace discards the cv2.GaussianBlur result
+    (`gen_fake_espi.py:257` -> `augmentation.py:66-70`).  Default
+    ('auto') must reproduce that: blur_sel == 0 on every primary frame.
+    blur=True opts back into the intended 30% blur; the hybrid variant
+    (whose blur is real, `gen_fake_espi_hybrid.py:313-316`) keeps it.
+    Every OTHER sampled value must be identical across blur settings
+    (the dice are rolled either way)."""
+    on = [sample_scene(9, f, blur=True) for f in range(40)]
+    off = [sample_scene(9, f) for f in range(40)]
+    assert all(s.blur_sel == 0 for s in off)
+    assert any(s.blur_sel != 0 for s in on)  # ~30% expected
+    for a, b in zip(on, off):
+        np.testing.assert_array_equal(a.cx, b.cx)
+        np.testing.assert_array_equal(a.rings, b.rings)
+        assert a.noise_seed == b.noise_seed
+    hy = [sample_scene(9, f, "hybrid") for f in range(40)]
+    assert any(s.blur_sel != 0 for s in hy)
+
+
 def test_scene_label_distributions():
     for f in range(20):
         sc = sample_scene(1, f)

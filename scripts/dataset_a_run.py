@@ -9,6 +9,7 @@ train-time cutout + salt&pepper (the reference's blur is a silent no-op,
 so blur_prob=0).  Val = 4,992 frames like the reference's val split.
 
 Usage: python scripts/dataset_a_run.py [epochs] [batch] [lr_max] [n_train]
+                                       [compute_dtype]
 Writes logs to logs/dataset_a/ and checkpoints to SPNET_CKPT (optional).
 Ends with a full evaluation (mAP included).
 """
@@ -36,11 +37,13 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     lr_max = float(sys.argv[3]) if len(sys.argv) > 3 else 4e-5
     n_train = int(sys.argv[4]) if len(sys.argv) > 4 else 40960
+    dtype = sys.argv[5] if len(sys.argv) > 5 else "bfloat16"
     n_val = 4992
 
     cfg = ExperimentConfig(
         grid=GridSpec(),
-        model=ModelConfig(backbone="Xception", input_size=331),
+        model=ModelConfig(backbone="Xception", input_size=331,
+                          compute_dtype=dtype),
         train=TrainConfig(batch_size=batch, epochs=epochs, lr_max=lr_max,
                           augment=True, blur_prob=0.0, save_every=10,
                           seed=0),

@@ -66,15 +66,19 @@ def nearest_multiple(a: int, b: int) -> int:
     return (a // b) * b
 
 
-def load_image(path: str, size: int | None, grayscale: bool = True
-               ) -> np.ndarray:
-    """Decode + resize one image -> float32 (H, W, 1) in [-1, 1]."""
+def load_image(path: str, size: int | None, grayscale: bool = True,
+               method: str = "lanczos3") -> np.ndarray:
+    """Decode + resize one image -> float32 (H, W, 1) in [-1, 1].
+
+    method 'lanczos3' (default) matches the reference's PIL ANTIALIAS
+    resize (`utils.py:337`); 'box' = area averaging."""
     from PIL import Image
 
     img = Image.open(path)
     if size and img.size != (size, size):  # size 0/None = native resolution
-        # BOX = area averaging, matching the native C++ loader's resample
-        img = img.resize((size, size), Image.BOX)
+        img = img.resize((size, size),
+                         Image.LANCZOS if method == "lanczos3"
+                         else Image.BOX)
     arr = np.asarray(img, dtype=np.float32)
     if arr.ndim == 3:
         arr = arr[..., 0]  # keep one channel of RGB sources
@@ -83,7 +87,8 @@ def load_image(path: str, size: int | None, grayscale: bool = True
 
 
 def build_x(
-    img_files: list[str], size: int | None = 331, verbose: bool = True
+    img_files: list[str], size: int | None = 331, verbose: bool = True,
+    method: str = "lanczos3",
 ) -> np.ndarray:
     """Load a list of images into (N, size, size, 1) float32.
 
@@ -91,7 +96,7 @@ def build_x(
     try:
         from spnet_tpu.data.loader import native_build_x
 
-        out = native_build_x(img_files, size)
+        out = native_build_x(img_files, size, method)
         if out is not None:
             return out
     except Exception:
@@ -99,13 +104,13 @@ def build_x(
     n = len(img_files)
     if n == 0:
         raise ValueError("no images to load")
-    first = load_image(img_files[0], size)
+    first = load_image(img_files[0], size, method=method)
     x = np.zeros((n,) + first.shape, np.float32)
     x[0] = first
     for i in range(1, n):
         if verbose and i % 2000 == 0:
             print(f"      loading image {i}/{n}", end="\r")
-        x[i] = load_image(img_files[i], size)
+        x[i] = load_image(img_files[i], size, method=method)
     if verbose and n > 2000:
         print()
     return x

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 
 
-def native_build_x(img_files: list[str], size: int | None):
+def native_build_x(img_files: list[str], size: int | None,
+                   method: str = "lanczos3"):
     # the native decoder handles (non-interlaced 8-bit) PNG only; any
     # other format (e.g. the reference's .bmp movie frames) goes to PIL
     if not all(f.lower().endswith(".png") for f in img_files):
@@ -23,4 +24,4 @@ def native_build_x(img_files: list[str], size: int | None):
         return None
     if not native_io.available():
         return None
-    return native_io.load_images(img_files, size)
+    return native_io.load_images(img_files, size, method=method)

@@ -43,14 +43,15 @@ def _ensure_built() -> bool:
             return False
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-        lib.spnet_load_images_status.restype = ctypes.c_int
-        lib.spnet_load_images_status.argtypes = [
+        lib.spnet_load_images_ex.restype = ctypes.c_int
+        lib.spnet_load_images_ex.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int,
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
         ]
         lib.spnet_png_dims.restype = ctypes.c_int
         lib.spnet_png_dims.argtypes = [
@@ -81,9 +82,16 @@ def png_dims(path: str) -> tuple[int, int]:
     return w.value, h.value
 
 
+FILTERS = {"box": 0, "lanczos3": 1}
+
+
 def load_images(paths: list[str], size: int | None,
-                n_threads: int = 0) -> np.ndarray:
-    """Decode + resize + Inception-normalize into (N, S, S, 1) float32."""
+                n_threads: int = 0,
+                method: str = "lanczos3") -> np.ndarray:
+    """Decode + resize + Inception-normalize into (N, S, S, 1) float32.
+
+    method 'lanczos3' (default) is the PIL-ANTIALIAS twin the reference
+    resizes with (`utils.py:337`); 'box' = area averaging."""
     if not _ensure_built():
         raise RuntimeError("native loader unavailable")
     n = len(paths)
@@ -98,10 +106,11 @@ def load_images(paths: list[str], size: int | None,
         size_arg = size
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     status = np.zeros(n, np.uint8)
-    ok = _lib.spnet_load_images_status(
+    ok = _lib.spnet_load_images_ex(
         arr, n, size_arg,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        FILTERS[method],
     )
     if ok != n:
         # PNG variants outside the native subset (palette, 16-bit,
@@ -114,5 +123,5 @@ def load_images(paths: list[str], size: int | None,
 
         for i in failed:
             out[i] = load_image(paths[i], None if size_arg == 0 else
-                                size_arg)
+                                size_arg, method=method)
     return out

@@ -3,7 +3,8 @@
 // TPU-native replacement for the reference's Python multiprocessing +
 // shared-ctypes image reader (/root/reference/spnet/utils.py:323-421):
 // a C++ thread pool decodes PNG frames (zlib inflate + per-row
-// unfiltering), box-resizes them to the model input resolution, and
+// unfiltering), resizes them to the model input resolution (Lanczos3 —
+// the reference's PIL ANTIALIAS — or box), and
 // writes Inception-scaled float32 pixels straight into the caller's
 // pinned output buffer — one pass, no Python object churn, no process
 // forks.  Exposed to Python via a plain C ABI consumed with ctypes
@@ -17,6 +18,7 @@
 #include <zlib.h>
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -171,17 +173,108 @@ void resize_norm(const Image& img, int size, float* out) {
   }
 }
 
+// ---------------------------------------------------------------------
+// Lanczos3 separable resample, PIL-compatible.
+//
+// The reference loads real datasets with PIL's ANTIALIAS (= LANCZOS)
+// filter (/root/reference/spnet/utils.py:337); this reproduces
+// Pillow's algorithm: per-axis support = 3 * scale, kernel
+// sinc(t) * sinc(t/3) sampled at (i + 0.5 - center) / scale with
+// normalized weights, horizontal pass first, each pass rounded and
+// clipped to uint8 like Pillow's 8-bit path.
+
+double lanczos3(double t) {
+  if (t <= -3.0 || t >= 3.0) return 0.0;
+  if (t == 0.0) return 1.0;
+  const double pit = 3.14159265358979323846 * t;
+  return 3.0 * std::sin(pit) * std::sin(pit / 3.0) / (pit * pit);
+}
+
+// One-axis PIL-style resample: in (n_lines x in_size, stride between
+// consecutive samples of a line = in_stride, between lines = line_stride)
+// -> out laid out the same way with out sizes.
+void resample_axis_u8(const uint8_t* in, int in_size, size_t in_stride,
+                      size_t in_line_stride, int n_lines, int out_size,
+                      uint8_t* out, size_t out_stride,
+                      size_t out_line_stride) {
+  const double scale = double(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 3.0 * filterscale;
+  const double ss = 1.0 / filterscale;
+
+  std::vector<int> bounds(2 * out_size);
+  std::vector<double> kk;
+  std::vector<int> koff(out_size + 1, 0);
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = int(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = int(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    double wsum = 0.0;
+    const size_t base = kk.size();
+    for (int x = xmin; x < xmax; ++x) {
+      double w = lanczos3((x - center + 0.5) * ss);
+      kk.push_back(w);
+      wsum += w;
+    }
+    if (wsum != 0.0) {
+      for (size_t i = base; i < kk.size(); ++i) kk[i] /= wsum;
+    }
+    bounds[2 * xx] = xmin;
+    bounds[2 * xx + 1] = xmax - xmin;
+    koff[xx + 1] = int(kk.size());
+  }
+
+  for (int line = 0; line < n_lines; ++line) {
+    const uint8_t* src = in + size_t(line) * in_line_stride;
+    uint8_t* dst = out + size_t(line) * out_line_stride;
+    for (int xx = 0; xx < out_size; ++xx) {
+      const int xmin = bounds[2 * xx], cnt = bounds[2 * xx + 1];
+      const double* k = &kk[koff[xx]];
+      double acc = 0.0;
+      for (int i = 0; i < cnt; ++i) {
+        acc += src[size_t(xmin + i) * in_stride] * k[i];
+      }
+      int v = int(acc + 0.5);  // Pillow clip8: round then clamp
+      if (v < 0) v = 0;
+      if (v > 255) v = 255;
+      dst[size_t(xx) * out_stride] = uint8_t(v);
+    }
+  }
+}
+
+// Lanczos3 resample of channel 0 into float32 [-1, 1] (PIL ANTIALIAS
+// twin; horizontal then vertical pass, uint8 rounding per pass like
+// Pillow's 8-bit path).
+void resize_norm_lanczos(const Image& img, int size, float* out) {
+  const int w = img.w, h = img.h, ch = img.channels;
+  // channel-0 view is handled via strides; horizontal pass
+  std::vector<uint8_t> mid(size_t(h) * size);
+  resample_axis_u8(img.pix.data(), w, ch, size_t(w) * ch, h, size,
+                   mid.data(), 1, size);
+  // vertical pass: lines are now COLUMNS of mid
+  std::vector<uint8_t> fin(size_t(size) * size);
+  resample_axis_u8(mid.data(), h, size, 1, size, size,
+                   fin.data(), size, 1);
+  for (size_t p = 0; p < fin.size(); ++p) {
+    out[p] = (fin[p] / 255.0f - 0.5f) * 2.0f;
+  }
+}
+
 }  // namespace
 
 extern "C" {
 
 // Decode + resize + normalize n images into out (n * size * size floats).
 // size <= 0 keeps native resolution (all images must share it; the first
-// image defines it).  Returns the number of successfully loaded images;
-// failed slots are zero-filled and, when `status` is non-null, marked 0
-// in status[i] (1 = decoded) so the caller can retry them elsewhere.
-int spnet_load_images_status(const char** paths, int n, int size, float* out,
-                             int n_threads, uint8_t* status) {
+// image defines it).  filter: 0 = box (area average), 1 = Lanczos3 (the
+// reference's PIL ANTIALIAS).  Returns the number of successfully loaded
+// images; failed slots are zero-filled and, when `status` is non-null,
+// marked 0 in status[i] (1 = decoded) so the caller can retry them
+// elsewhere.
+int spnet_load_images_ex(const char** paths, int n, int size, float* out,
+                         int n_threads, uint8_t* status, int filter) {
   if (n <= 0) return 0;
   if (status) memset(status, 0, n);
   std::atomic<int> next(0), ok(0);
@@ -206,7 +299,11 @@ int spnet_load_images_status(const char** paths, int n, int size, float* out,
       if (size > 0) {
         float* dst = out + size_t(i) * out_size * out_size;
         if (good) {
-          resize_norm(img, out_size, dst);
+          if (filter == 1) {
+            resize_norm_lanczos(img, out_size, dst);
+          } else {
+            resize_norm(img, out_size, dst);
+          }
           ok.fetch_add(1);
           if (status) status[i] = 1;
         } else {
@@ -233,10 +330,15 @@ int spnet_load_images_status(const char** paths, int n, int size, float* out,
   return ok.load();
 }
 
-// Back-compat ABI without per-file status.
+// Back-compat ABIs (box filter).
+int spnet_load_images_status(const char** paths, int n, int size,
+                             float* out, int n_threads, uint8_t* status) {
+  return spnet_load_images_ex(paths, n, size, out, n_threads, status, 0);
+}
+
 int spnet_load_images(const char** paths, int n, int size, float* out,
                       int n_threads) {
-  return spnet_load_images_status(paths, n, size, out, n_threads, nullptr);
+  return spnet_load_images_ex(paths, n, size, out, n_threads, nullptr, 0);
 }
 
 // Probe the dimensions of one PNG.  Returns 0 on success.

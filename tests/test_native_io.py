@@ -32,12 +32,19 @@ def test_native_resolution_exact(pngs):
 
 
 def test_resized_close_to_pil(pngs):
-    x = native_io.load_images(pngs, size=128)
-    ref = np.stack([load_image(p, 128) for p in pngs])
-    assert x.shape == ref.shape == (4, 128, 128, 1)
-    # both paths are area-average resamplers; tiny rounding differences
-    assert np.abs(x - ref).mean() < 0.01
-    assert np.corrcoef(x.ravel(), ref.ravel())[0, 1] > 0.999
+    """Default resample is the Lanczos3 PIL-ANTIALIAS twin (reference
+    `utils.py:337`); 'box' keeps the area-average path.  Each native
+    filter must track its PIL counterpart to rounding noise."""
+    for method in ("lanczos3", "box"):
+        x = native_io.load_images(pngs, size=128, method=method)
+        ref = np.stack([load_image(p, 128, method=method) for p in pngs])
+        assert x.shape == ref.shape == (4, 128, 128, 1)
+        assert np.abs(x - ref).mean() < 0.01, method
+        assert np.corrcoef(x.ravel(), ref.ravel())[0, 1] > 0.999, method
+    # and the two filters genuinely differ (lanczos is sharper)
+    a = native_io.load_images(pngs, size=128, method="lanczos3")
+    b = native_io.load_images(pngs, size=128, method="box")
+    assert np.abs(a - b).mean() > 1e-4
 
 
 def test_png_dims(pngs):

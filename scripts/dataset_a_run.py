@@ -32,6 +32,31 @@ from spnet_tpu.data.dataset import synthetic_dataset
 from spnet_tpu.train.loop import train_network
 
 
+def _cached_synth(n, cfg, seed, batch=None):
+    """Disk-cached synthetic_dataset: generation costs ~14 min per 46k
+    frames on this 1-core host, identical across recipe iterations
+    (deterministic in (n, seed, input_size)), so cache the arrays."""
+    import numpy as np
+
+    from spnet_tpu.data.dataset import Dataset
+
+    size = cfg.model.input_size
+    path = f"logs/synth_cache/n{n}_s{seed}_i{size}_v2.npz"
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=False)
+        print(f"  (cache hit: {path})")
+        return Dataset(x=z["x"], y=z["y"],
+                       file_list=[f"synthetic://{seed}/{i}"
+                                  for i in range(z["x"].shape[0])],
+                       grid=cfg.grid,
+                       rows=z["rows"], row_mask=z["mask"])
+    ds = synthetic_dataset(n, cfg.grid, seed=seed, input_size=size,
+                           batch_size=batch)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path, x=ds.x, y=ds.y, rows=ds.rows, mask=ds.row_mask)
+    return ds
+
+
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -50,11 +75,8 @@ def main():
     )
     t0 = time.time()
     print(f"generating {n_train} train + {n_val} val synthetic frames...")
-    train_ds = synthetic_dataset(n_train, cfg.grid, seed=0,
-                                 input_size=cfg.model.input_size,
-                                 batch_size=batch)
-    val_ds = synthetic_dataset(n_val, cfg.grid, seed=777777,
-                               input_size=cfg.model.input_size)
+    train_ds = _cached_synth(n_train, cfg, seed=0, batch=batch)
+    val_ds = _cached_synth(n_val, cfg, seed=777777)
     print(f"  data ready in {time.time() - t0:.1f}s  "
           f"train {train_ds.x.shape}  val {val_ds.x.shape}", flush=True)
 

@@ -17,7 +17,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from spnet_tpu.models.layers import ConvBN
+from spnet_tpu.models.layers import KERAS_INIT, ConvBN
 
 def _cbr(x, train, features, kernel=(1, 1), strides=(1, 1),
          padding="SAME", act=True, name="", dtype=jnp.bfloat16):
@@ -43,7 +43,7 @@ class Block35(nn.Module):
         b2 = _cbr(b2, train, 64, (3, 3), dtype=self.dtype, name="b2c")
         mix = jnp.concatenate([b0, b1, b2], axis=-1)
         up = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=self.dtype,
-                     name="up")(mix)
+                     name="up", kernel_init=KERAS_INIT)(mix)
         return nn.relu(x + self.scale * up)
 
 
@@ -61,7 +61,7 @@ class Block17(nn.Module):
         b1 = _cbr(b1, train, 192, (7, 1), dtype=self.dtype, name="b1c")
         mix = jnp.concatenate([b0, b1], axis=-1)
         up = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=self.dtype,
-                     name="up")(mix)
+                     name="up", kernel_init=KERAS_INIT)(mix)
         return nn.relu(x + self.scale * up)
 
 
@@ -80,7 +80,7 @@ class Block8(nn.Module):
         b1 = _cbr(b1, train, 256, (3, 1), dtype=self.dtype, name="b1c")
         mix = jnp.concatenate([b0, b1], axis=-1)
         up = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=self.dtype,
-                     name="up")(mix)
+                     name="up", kernel_init=KERAS_INIT)(mix)
         out = x + self.scale * up
         return nn.relu(out) if self.final_relu else out
 

@@ -15,6 +15,12 @@ from flax import linen as nn
 
 Dtype = Any
 
+#: Keras-compatible kernel init.  Every conv/dense layer the reference
+#: builds uses Keras's default `glorot_uniform` (keras 2.1.3
+#: Conv2D/Dense/DepthwiseConv2D initializers); flax's default is
+#: lecun_normal, a genuinely different starting distribution.
+KERAS_INIT = nn.initializers.glorot_uniform()
+
 
 class ConvBN(nn.Module):
     """Conv -> BatchNorm (-> activation)."""
@@ -38,6 +44,7 @@ class ConvBN(nn.Module):
             padding=self.padding,
             use_bias=self.use_bias,
             dtype=self.dtype,
+            kernel_init=KERAS_INIT,
             name="conv",
         )(x)
         x = nn.BatchNorm(
@@ -81,6 +88,7 @@ class SeparableConvBN(nn.Module):
             feature_group_count=in_ch,
             use_bias=False,
             dtype=self.dtype,
+            kernel_init=KERAS_INIT,
             name="depthwise",
         )(x)
         if self.bn_between:
@@ -98,6 +106,7 @@ class SeparableConvBN(nn.Module):
             (1, 1),
             use_bias=False,
             dtype=self.dtype,
+            kernel_init=KERAS_INIT,
             name="pointwise",
         )(x)
         x = nn.BatchNorm(

@@ -23,6 +23,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from spnet_tpu.models.layers import KERAS_INIT
+
 BN_MOM = 0.9997
 
 
@@ -35,7 +37,7 @@ def _bn(x, train, name):
 
 def _conv(x, f, k, s, name):
     return nn.Conv(f, (k, k), strides=(s, s), padding="SAME",
-                   use_bias=False, dtype=x.dtype, name=name)(x)
+                   use_bias=False, dtype=x.dtype, name=name, kernel_init=KERAS_INIT)(x)
 
 
 class SepBlock(nn.Module):
@@ -53,9 +55,9 @@ class SepBlock(nn.Module):
             x = nn.Conv(in_ch, (self.kernel, self.kernel), strides=(s, s),
                         padding="SAME", feature_group_count=in_ch,
                         use_bias=False, dtype=x.dtype,
-                        name=name + "_dw")(x)
+                        name=name + "_dw", kernel_init=KERAS_INIT)(x)
             return nn.Conv(self.filters, (1, 1), use_bias=False,
-                           dtype=x.dtype, name=name + "_pw")(x)
+                           dtype=x.dtype, name=name + "_pw", kernel_init=KERAS_INIT)(x)
 
         x = nn.relu(x)
         x = sep(x, self.stride, "sep1")
@@ -155,7 +157,7 @@ class NASNetMobile(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(self.stem_filters, (3, 3), strides=(2, 2),
                     padding="VALID", use_bias=False, dtype=x.dtype,
-                    name="stem_conv")(x)
+                    name="stem_conv", kernel_init=KERAS_INIT)(x)
         x = _bn(x, train, "stem_bn")
 
         p = None

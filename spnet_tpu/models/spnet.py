@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from spnet_tpu.config import ModelConfig
-from spnet_tpu.models.layers import leaky_relu_01
+from spnet_tpu.models.layers import KERAS_INIT, leaky_relu_01
 from spnet_tpu.models.mobilenet import MobileNet
 from spnet_tpu.models.xception import Xception
 from spnet_tpu.ops.activations import selective_sigmoid_jnp
@@ -77,8 +77,7 @@ class _KernelHolder(nn.Module):
     @nn.compact
     def __call__(self):
         return self.param(
-            "kernel", nn.initializers.lecun_normal(), self.shape,
-            self.dtype,
+            "kernel", KERAS_INIT, self.shape, self.dtype,
         )
 
 
@@ -249,13 +248,11 @@ class Stem(nn.Module):
         p = leaky_relu_01(bn(p, "bn1"))
         p = nn.Conv(
             self.filters, (3, 3), padding="SAME", use_bias=False,
-            dtype=self.dtype, name="conv2",
-        )(p)
+            dtype=self.dtype, name="conv2", kernel_init=KERAS_INIT)(p)
         p = leaky_relu_01(bn(p, "bn2"))
         p = nn.Conv(
             self.filters, (3, 3), padding="SAME", use_bias=False,
-            dtype=self.dtype, name="conv3",
-        )(p)
+            dtype=self.dtype, name="conv3", kernel_init=KERAS_INIT)(p)
         p = bn(p, "bn3")
         # residual skip = 2x2/2 avg pool of the input: exactly the mean
         # of patch taps (U,V) in {1,2}^2 (rows 2p, 2p+1 / cols 2q, 2q+1)
@@ -272,8 +269,7 @@ class Stem(nn.Module):
         inputs = x
         x = nn.Conv(
             self.filters, (3, 3), padding="SAME", use_bias=False,
-            dtype=self.dtype, name="colorizer",
-        )(x)
+            dtype=self.dtype, name="colorizer", kernel_init=KERAS_INIT)(x)
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.99, epsilon=1e-3,
@@ -282,8 +278,7 @@ class Stem(nn.Module):
         x = leaky_relu_01(x)
         x = nn.Conv(
             self.filters, (3, 3), padding="SAME", use_bias=False,
-            dtype=self.dtype, name="conv2",
-        )(x)
+            dtype=self.dtype, name="conv2", kernel_init=KERAS_INIT)(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.99, epsilon=1e-3,
             dtype=self.dtype, name="bn2",
@@ -291,8 +286,7 @@ class Stem(nn.Module):
         x = leaky_relu_01(x)
         x = nn.Conv(
             self.filters, (3, 3), padding="SAME", use_bias=False,
-            dtype=self.dtype, name="conv3",
-        )(x)
+            dtype=self.dtype, name="conv3", kernel_init=KERAS_INIT)(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.99, epsilon=1e-3,
             dtype=self.dtype, name="bn3",
@@ -352,10 +346,10 @@ class SPNet(nn.Module):
         if self.compound_head:
             n_preds = self.num_outputs // VARS_PER_PRED
             sig = nn.Dense(n_preds, dtype=jnp.float32,
-                           name="sigmoid_output")(x)
+                           name="sigmoid_output", kernel_init=KERAS_INIT)(x)
             sig = jax.nn.sigmoid(sig)
             dense = nn.Dense(self.num_outputs - n_preds,
-                             dtype=jnp.float32, name="dense_output")(x)
+                             dtype=jnp.float32, name="dense_output", kernel_init=KERAS_INIT)(x)
             # interleave: place sig[k] at slot k's IND_NOOBJ lane
             d3 = dense.reshape(-1, n_preds, VARS_PER_PRED - 1)
             out = jnp.concatenate(
@@ -365,7 +359,7 @@ class SPNet(nn.Module):
             x = out.reshape(-1, self.num_outputs)
         else:
             x = nn.Dense(self.num_outputs, dtype=jnp.float32,
-                         name="final_output")(x)
+                         name="final_output", kernel_init=KERAS_INIT)(x)
         if self.selective_sigmoid:
             x = selective_sigmoid_jnp(x)
         return x

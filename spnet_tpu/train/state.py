@@ -55,7 +55,10 @@ def make_optimizer(
     layer_order: list[str],
     freeze_fac: float = 0.0,
 ) -> optax.GradientTransformation:
-    adam = optax.adam(learning_rate=schedule)
+    # eps matches Keras's Adam default (K.epsilon() = 1e-7, the optimizer
+    # the reference compiles with at models.py:494-502); optax's default
+    # is 1e-8.
+    adam = optax.adam(learning_rate=schedule, eps=1e-7)
     if freeze_fac <= 0.0:
         return adam
     labels = backbone_freeze_labels(params, layer_order, freeze_fac)

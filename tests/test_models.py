@@ -52,14 +52,22 @@ def test_train_mode_updates_batch_stats():
 def test_gradients_flow():
     model = SPNet(num_outputs=64, backbone="MobileNetTiny",
                   dtype=jnp.float32)
-    x = jnp.ones((2, 64, 64, 1), jnp.float32)
+    # random input: a CONSTANT image can dead-ReLU an entire
+    # 0.125-width layer by init luck, which says nothing about flow
+    x = jax.random.normal(jax.random.key(7), (2, 64, 64, 1), jnp.float32)
     rng = jax.random.key(0)
     variables = model.init({"params": rng, "dropout": rng}, x, train=False)
 
     def loss_fn(params):
-        y = model.apply(
+        # train=True: batch-norm normalizes each layer's activations as
+        # in real training.  (In eval mode at INIT, running stats are
+        # (0, 1), so the Keras-matching glorot init — whose per-layer
+        # gain is < 1 — decays activations geometrically; Keras behaves
+        # identically and trains fine because BN train-mode rescales.)
+        y, _ = model.apply(
             {"params": params, "batch_stats": variables["batch_stats"]},
-            x, train=False,
+            x, train=True, rngs={"dropout": jax.random.key(1)},
+            mutable=["batch_stats"],
         )
         return jnp.mean(y**2)
 

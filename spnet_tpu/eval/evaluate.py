@@ -34,9 +34,16 @@ def evaluate_network(
     """Returns a metrics dict (mAP, accuracies, pixel error, FPS)."""
     os.makedirs(log_dir, exist_ok=True)
     predict_fn = make_predict_step(model)
+    # eval-mode predictions are batch-size independent: sweep the test
+    # set in large batches (few dispatches) rather than the train batch
+    # — the same policy as the in-train val sweep (train/loop.py); the
+    # reference reuses its train batch only because Keras predict
+    # shares the compiled graph (`evaluate_spnet.py:64-68`)
+    infer_bs = max(cfg.train.batch_size,
+                   min(256, int(test_ds.x.shape[0])))
     y_pred, fps = predict_in_batches(
         predict_fn, state.params, state.batch_stats, test_ds.x,
-        cfg.train.batch_size, verbose=verbose,
+        infer_bs, verbose=verbose,
     )
     if cfg.model.loss_type != "same":
         y_pred[:, IND_NOOBJ::VARS_PER_PRED] = 1.0 / (

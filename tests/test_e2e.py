@@ -120,6 +120,36 @@ def test_synthetic_inmemory_dataset():
     assert -1.01 <= ds32.x.min() and ds32.x.max() <= 1.01
 
 
+def test_eval_predictions_batch_size_independent():
+    """The in-train val sweep and evaluate_network predict in LARGE
+    batches rather than the train batch — valid only because eval-mode
+    predictions are batch-size independent (BN running stats, no
+    dropout).  Pin that."""
+    import jax
+    import jax.numpy as jnp
+
+    from spnet_tpu.models.spnet import build_model
+    from spnet_tpu.train.loop import predict_in_batches
+    from spnet_tpu.train.steps import make_predict_step
+
+    cfg = _tiny_cfg()
+    model = build_model(cfg.model, num_outputs=cfg.grid.num_outputs)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (12, 96, 96, 1), np.uint8)
+    v = model.init(jax.random.key(0), jnp.zeros((2, 96, 96, 1)),
+                   train=False)
+    predict_fn = make_predict_step(model)
+    y4, _ = predict_in_batches(predict_fn, v["params"],
+                               v["batch_stats"], x, 4, verbose=False)
+    y12, _ = predict_in_batches(predict_fn, v["params"],
+                                v["batch_stats"], x, 12, verbose=False)
+    # also exercises the final-partial-batch padding path
+    y5, _ = predict_in_batches(predict_fn, v["params"],
+                               v["batch_stats"], x, 5, verbose=False)
+    np.testing.assert_allclose(y4, y12, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(y5, y12, rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_checkpoint_inference_roundtrip(tmp_path):
     """Checkpoint -> load_model_and_state -> evaluate (the evaluate/

@@ -38,6 +38,18 @@ def save_checkpoint(ckpt_dir: str, state, config: ExperimentConfig,
                                               state.batch_stats),
         "step": np.asarray(state.step),
     }
+    # Optimizer state travels too (flattened: optax namedtuple trees
+    # don't round-trip a target-less Orbax restore).  Resuming with
+    # fresh Adam moments mid-anneal measurably destabilizes training —
+    # an f32 Dataset-A run resumed at epoch 81/100 fell from 94.8 % to
+    # 84.1 % ring-acc over the weights-only-resumed tail.  (The
+    # reference's resume is weights-only: `models.py:474-485`.)
+    opt_state = getattr(state, "opt_state", None)
+    if opt_state is not None:
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        payload["opt_state_leaves"] = {
+            f"{i:04d}": np.asarray(leaf) for i, leaf in enumerate(leaves)
+        }
     path = os.path.join(ckpt_dir, "state")
     ckptr = ocp.StandardCheckpointer()
     if os.path.exists(path):
@@ -82,8 +94,22 @@ def restore_if_exists(ckpt_dir: str, state, no_cp_fatal: bool = False):
     print(f"    Checkpoint detected in {ckpt_dir}; resuming.")
     import jax.numpy as jnp
 
-    return state.replace(
+    new = state.replace(
         params=payload["params"],
         batch_stats=payload["batch_stats"],
         step=jnp.asarray(payload["step"]),
     )
+    saved = payload.get("opt_state_leaves")
+    opt_state = getattr(state, "opt_state", None)
+    if saved is not None and opt_state is not None:
+        leaves = [saved[k] for k in sorted(saved)]
+        treedef = jax.tree_util.tree_structure(opt_state)
+        if treedef.num_leaves == len(leaves):
+            new = new.replace(
+                opt_state=jax.tree_util.tree_unflatten(treedef, leaves)
+            )
+        else:
+            # structure changed (e.g. freeze phase boundary): weights-only
+            print("    (optimizer state in checkpoint does not match the "
+                  "current optimizer; resuming weights-only)")
+    return new

@@ -120,6 +120,48 @@ def test_synthetic_inmemory_dataset():
     assert -1.01 <= ds32.x.min() and ds32.x.max() <= 1.01
 
 
+def test_checkpoint_restores_optimizer_state(tmp_path):
+    """Resume must carry the Adam moments: a weights-only resume
+    mid-anneal measurably destabilizes training (io/checkpoint.py
+    docstring).  Save after one real step, restore into a FRESH state,
+    and require bit-equal opt_state leaves."""
+    import jax
+    import jax.numpy as jnp
+
+    from spnet_tpu.config import LossWeights
+    from spnet_tpu.io.checkpoint import restore_if_exists, \
+        save_checkpoint
+    from spnet_tpu.models.spnet import build_model
+    from spnet_tpu.train.schedule import onecycle_schedule
+    from spnet_tpu.train.state import create_train_state
+    from spnet_tpu.train.steps import make_train_step
+
+    cfg = _tiny_cfg()
+    model = build_model(cfg.model, num_outputs=cfg.grid.num_outputs)
+    sched = onecycle_schedule(1e-3, 100)
+    sample = jnp.zeros((4, 96, 96, 1))
+    state = create_train_state(model, jax.random.key(0), sample, sched)
+    step = make_train_step(model, LossWeights(), "same", augment=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (4, 96, 96, 1)).astype(np.float32))
+    y = jnp.asarray(rng.normal(0, 0.1,
+                               (4, cfg.grid.num_outputs))
+                    .astype(np.float32))
+    state, _ = step(state, x, y, jax.random.key(1))
+    save_checkpoint(str(tmp_path / "ck"), state, cfg)
+
+    fresh = create_train_state(model, jax.random.key(9), sample, sched)
+    restored = restore_if_exists(str(tmp_path / "ck"), fresh)
+    a = jax.tree_util.tree_leaves(state.opt_state)
+    b = jax.tree_util.tree_leaves(restored.opt_state)
+    assert len(a) == len(b)
+    nonzero = 0
+    for la, lb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        nonzero += bool(np.any(np.asarray(la) != 0))
+    assert nonzero  # the moments are real data, not all-zero trees
+
+
 def test_eval_predictions_batch_size_independent():
     """The in-train val sweep and evaluate_network predict in LARGE
     batches rather than the train batch — valid only because eval-mode

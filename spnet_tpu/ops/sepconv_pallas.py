@@ -77,14 +77,15 @@ def _kernel(x_ref, dw_ref, pw_ref, sc_ref, bi_ref, o_ref, *, relu):
                 xp[:, u : u + h, v : v + w, :].astype(jnp.float32)
                 * dw[u, v]
             )
-    y = acc.astype(x.dtype).reshape(nb * h * w, c)
-    z = jnp.dot(y, pw_ref[...].astype(x.dtype),
+    # contract the channel axis in place: a 4D x 2D jnp.dot avoids the
+    # (nb, h, w, c) -> (nb*h*w, c) reshape, which Mosaic rejects when w
+    # is not a sublane multiple ("unsupported shape cast")
+    z = jnp.dot(acc.astype(x.dtype), pw_ref[...].astype(x.dtype),
                 preferred_element_type=jnp.float32)
     z = z * sc_ref[...] + bi_ref[...]
     if relu:
         z = jnp.maximum(z, 0.0)
-    f = z.shape[-1]
-    o_ref[...] = z.astype(o_ref.dtype).reshape(nb, h, w, f)
+    o_ref[...] = z.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("relu", "batch_tile"))

@@ -61,6 +61,13 @@ def main(batch_size: int = 128, steps_per_epoch: int = 160,
     ds = synthetic_dataset(n_data, grid, seed=0,
                            input_size=mc.input_size,
                            batch_size=batch_size)
+    # the dataset is truncated to a multiple of batch_size; sample
+    # indices from the frames that actually exist (an SPNET_BENCH_BS
+    # that doesn't divide n_data would otherwise clamp-gather past the
+    # end, silently oversampling the final frame)
+    n_data = ds.x.shape[0]
+    if n_data == 0:
+        raise ValueError("batch_size larger than the benchmark dataset")
     x_all = jax.device_put(jnp.asarray(ds.x))
     y_all = jax.device_put(jnp.asarray(ds.y))
 
@@ -72,6 +79,7 @@ def main(batch_size: int = 128, steps_per_epoch: int = 160,
     epoch_step = make_train_step(
         model, LossWeights(), mc.loss_type, l2_reg=mc.l2_reg,
         augment=True, indexed="epoch",
+        carry_compute_params=mc.compute_dtype,
     )
 
     def idx_mat(seed, steps):

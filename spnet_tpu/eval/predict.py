@@ -36,7 +36,8 @@ def predict_network(
 ) -> tuple[np.ndarray, list[str]]:
     """Returns (denormalized predictions, file list)."""
     os.makedirs(log_dir, exist_ok=True)
-    batch_size = batch_size or cfg.train.batch_size
+    batch_size = cfg.model.clamp_infer_batch(
+        batch_size or cfg.train.batch_size)
     files = sorted(glob.glob(os.path.join(datapath, "*.png")))
     if not files:
         files = sorted(glob.glob(os.path.join(datapath, "*.bmp")))

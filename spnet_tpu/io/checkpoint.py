@@ -102,9 +102,20 @@ def restore_if_exists(ckpt_dir: str, state, no_cp_fatal: bool = False):
     saved = payload.get("opt_state_leaves")
     opt_state = getattr(state, "opt_state", None)
     if saved is not None and opt_state is not None:
-        leaves = [saved[k] for k in sorted(saved)]
+        # numeric key sort (lexicographic would mis-order past %04d);
+        # then verify per-leaf shape AND dtype against the template
+        # optimizer — a same-leaf-count different optimizer (or a
+        # changed param tree) must fall back to weights-only, not load
+        # moments into the wrong slots.
+        leaves = [saved[k] for k in sorted(saved, key=int)]
+        template = jax.tree_util.tree_leaves(opt_state)
         treedef = jax.tree_util.tree_structure(opt_state)
-        if treedef.num_leaves == len(leaves):
+        compatible = len(template) == len(leaves) and all(
+            np.shape(s) == np.shape(t)
+            and np.asarray(s).dtype == np.asarray(t).dtype
+            for s, t in zip(leaves, template)
+        )
+        if compatible:
             new = new.replace(
                 opt_state=jax.tree_util.tree_unflatten(treedef, leaves)
             )

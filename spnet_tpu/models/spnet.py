@@ -318,6 +318,10 @@ class SPNet(nn.Module):
     compound_head: bool = False
     width_mult: float = 1.0
     dtype: Any = jnp.bfloat16
+    #: Mixed-precision split: compute dtype for the backbone only
+    #: (None = same as `dtype`).  Stem + head stay at `dtype`; see
+    #: ModelConfig.backbone_dtype.
+    backbone_dtype: Any = None
     remat: bool = False
     stem_planar: bool = False
     stem_fused: bool = False
@@ -331,8 +335,10 @@ class SPNet(nn.Module):
                  fused=self.stem_fused, name="stem")(x, train)
         x = nn.Dropout(self.dropout_rate, deterministic=not train,
                        name="stem_dropout")(x)
+        bb_dtype = self.backbone_dtype or self.dtype
+        x = x.astype(bb_dtype)
         cls, kwargs, _ = _backbone_ctor(self.backbone, self.width_mult,
-                                        self.dtype)
+                                        bb_dtype)
         if self.remat:
             # rematerialize backbone activations in the backward pass:
             # trades recompute FLOPs for HBM, enabling larger batches /
@@ -378,6 +384,8 @@ def build_model(cfg: ModelConfig, num_outputs: int = 576,
         selective_sigmoid=cfg.selective_sigmoid,
         width_mult=width_mult,
         dtype=jnp.dtype(cfg.compute_dtype),
+        backbone_dtype=(jnp.dtype(cfg.backbone_dtype)
+                        if getattr(cfg, "backbone_dtype", "") else None),
         remat=cfg.remat,
         stem_planar=cfg.stem_planar,
         stem_fused=cfg.stem_fused,

@@ -83,11 +83,13 @@ class Xception(nn.Module):
             64, (3, 3), padding="VALID", act=nn.relu, name="conv2",
             dtype=self.dtype,
         )(x, train)
-        x = _DownBlock(128, first_relu=False, name="block2")(x, train)
-        x = _DownBlock(256, name="block3")(x, train)
-        x = _DownBlock(728, name="block4")(x, train)
+        x = _DownBlock(128, first_relu=False, name="block2",
+                       dtype=self.dtype)(x, train)
+        x = _DownBlock(256, name="block3", dtype=self.dtype)(x, train)
+        x = _DownBlock(728, name="block4", dtype=self.dtype)(x, train)
         for i in range(8):
-            x = _MiddleBlock(name=f"middle{i + 1}")(x, train)
+            x = _MiddleBlock(name=f"middle{i + 1}",
+                             dtype=self.dtype)(x, train)
         # exit flow
         res = ConvBN(
             1024, (1, 1), strides=(2, 2), name="exit_shortcut",

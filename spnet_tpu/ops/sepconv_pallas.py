@@ -64,46 +64,93 @@ def sepconv_infer_jnp(x, dw, pw, scale, bias, relu: bool = True):
     return z.astype(x.dtype)
 
 
+def _round_up(a: int, m: int) -> int:
+    return -(-a // m) * m
+
+
+def _sublane_tile(dtype) -> int:
+    """Minimum second-minor (sublane) tile for a dtype on TPU."""
+    return {2: 16, 4: 8}.get(jnp.dtype(dtype).itemsize, 32)
+
+
 def _kernel(x_ref, dw_ref, pw_ref, sc_ref, bi_ref, o_ref, *, relu):
-    x = x_ref[...]  # (nb, H, W, C)
-    nb, h, w, c = x.shape
+    """One grid step = one image (rank-3 block, (H, W, C)).
+
+    The round-3 formulations (explicit (nb,h,w,c)->(nb*h*w,c) collapse;
+    4Dx2D jnp.dot) were rejected by Mosaic with 'infer-vector-layout:
+    unsupported shape cast' because the collapse merged an UNALIGNED w
+    into the sublane axis.  This version first pads w up to the dtype's
+    sublane tile, making the (h, wp, c) -> (h*wp, c) collapse a
+    tile-preserving relabeling, and contracts with a plain rank-2 MXU
+    matmul."""
+    x = x_ref[...]  # (H, W, C)
+    h, w, c = x.shape
+    f = o_ref.shape[-1]
     # halo kept in the input dtype (VMEM budget); each tap lifted to f32
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
     dw = dw_ref[...].astype(jnp.float32)  # (3, 3, C)
-    acc = jnp.zeros((nb, h, w, c), jnp.float32)
+    acc = jnp.zeros((h, w, c), jnp.float32)
     for u in range(3):
         for v in range(3):
             acc = acc + (
-                xp[:, u : u + h, v : v + w, :].astype(jnp.float32)
+                xp[u : u + h, v : v + w, :].astype(jnp.float32)
                 * dw[u, v]
             )
-    # contract the channel axis in place: a 4D x 2D jnp.dot avoids the
-    # (nb, h, w, c) -> (nb*h*w, c) reshape, which Mosaic rejects when w
-    # is not a sublane multiple ("unsupported shape cast")
-    z = jnp.dot(acc.astype(x.dtype), pw_ref[...].astype(x.dtype),
+    acc = acc.astype(x.dtype)
+    wp = _round_up(w, _sublane_tile(x.dtype))
+    if wp != w:
+        acc = jnp.pad(acc, ((0, 0), (0, wp - w), (0, 0)))
+    z = jnp.dot(acc.reshape(h * wp, c), pw_ref[...].astype(x.dtype),
                 preferred_element_type=jnp.float32)
     z = z * sc_ref[...] + bi_ref[...]
     if relu:
         z = jnp.maximum(z, 0.0)
-    o_ref[...] = z.astype(o_ref.dtype)
+    z = z.reshape(h, wp, f)
+    o_ref[...] = z[:, :w, :].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "batch_tile"))
-def sepconv_infer_pallas(x, dw, pw, scale, bias, relu: bool = True,
-                         batch_tile: int = 4):
-    """Fused VMEM-resident separable conv; twin of `sepconv_infer_jnp`."""
+def sepconv_vmem_bytes(h: int, w: int, c: int, f: int,
+                       itemsize: int = 2) -> int:
+    """Rough live-VMEM estimate for one grid step of the fused kernel:
+    input tile + f32 depthwise accumulator + f32 matmul result + output
+    tile + weights."""
+    wp = _round_up(w, 16)
+    return (
+        (h + 2) * (w + 2) * c * itemsize  # padded input halo
+        + h * wp * c * 4                  # f32 accumulator
+        + h * wp * f * 4                  # f32 matmul output
+        + h * w * f * itemsize            # output tile
+        + c * f * itemsize + 9 * c * 4 + 2 * f * 4
+    )
+
+
+#: Conservative per-step VMEM budget (v5e VMEM is ~16 MB/core; leave
+#: headroom for Mosaic temporaries and double-buffered grid DMA).
+VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def sepconv_fits_vmem(h: int, w: int, c: int, f: int,
+                      itemsize: int = 2) -> bool:
+    return sepconv_vmem_bytes(h, w, c, f, itemsize) <= VMEM_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("relu",))
+def sepconv_infer_pallas(x, dw, pw, scale, bias, relu: bool = True):
+    """Fused VMEM-resident separable conv; twin of `sepconv_infer_jnp`.
+
+    Grid is one image per step (the (B,) batch axis); shapes whose
+    working set exceeds the VMEM budget (the 165x165 entry-flow level of
+    Xception-331) should use the XLA chain instead — see
+    `sepconv_fits_vmem`."""
     b, h, w, c = x.shape
     f = pw.shape[-1]
-    nb = min(batch_tile, b)
-    while b % nb:
-        nb -= 1
     interpret = jax.default_backend() != "tpu"
     vmem = pl.ANY if interpret else pltpu.VMEM
     return pl.pallas_call(
         functools.partial(_kernel, relu=relu),
-        grid=(b // nb,),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((nb, h, w, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((None, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=vmem),
             pl.BlockSpec((3, 3, c), lambda i: (0, 0, 0),
                          memory_space=vmem),
@@ -111,7 +158,7 @@ def sepconv_infer_pallas(x, dw, pw, scale, bias, relu: bool = True,
             pl.BlockSpec((f,), lambda i: (0,), memory_space=vmem),
             pl.BlockSpec((f,), lambda i: (0,), memory_space=vmem),
         ],
-        out_specs=pl.BlockSpec((nb, h, w, f), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((None, h, w, f), lambda i: (i, 0, 0, 0),
                                memory_space=vmem),
         out_shape=jax.ShapeDtypeStruct((b, h, w, f), x.dtype),
         interpret=interpret,

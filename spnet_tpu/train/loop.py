@@ -38,25 +38,39 @@ from spnet_tpu.train.steps import make_predict_step, make_train_step
 
 
 def predict_in_batches(predict_fn, params, batch_stats, x, batch_size,
-                       mesh=None, verbose=True):
+                       mesh=None, verbose=True, warmup=True):
     """Batched inference with FPS timing (the reference times every
-    predict: `callbacks.py:137-141`, `evaluate_spnet.py:64-68`)."""
-    outs = []
+    predict: `callbacks.py:137-141`, `evaluate_spnet.py:64-68`).
+
+    The timed window reports STEADY-STATE throughput: the first
+    dispatch triggers XLA compilation (tens of seconds on a cold
+    cache), which is a property of the session, not the model — timing
+    it would under-report FPS by >10x on a single sweep.  warmup=False
+    restores cold-start timing."""
     m = x.shape[0]
+    if warmup and m:
+        wb = jnp.zeros((batch_size,) + x.shape[1:],
+                       jnp.asarray(x[:1]).dtype)
+        if mesh is not None and batch_size % mesh.size == 0:
+            wb = shard_batch(mesh, wb)
+        np.asarray(predict_fn(params, batch_stats, wb))  # compile+run
     start = time.time()
+    # dispatch ALL batches first (jax dispatch is async, so batch k+1's
+    # compute overlaps batch k's device->host transfer), then retrieve
+    outs_dev, trims = [], []
     for s in range(0, m, batch_size):
         xb = jnp.asarray(x[s : s + batch_size])
-        if xb.shape[0] < batch_size:  # pad final partial batch
-            pad = batch_size - xb.shape[0]
+        trim = xb.shape[0]
+        if trim < batch_size:  # pad final partial batch
+            pad = batch_size - trim
             xb = jnp.concatenate([xb, jnp.zeros((pad,) + xb.shape[1:],
                                                 xb.dtype)])
-            outs.append(np.asarray(predict_fn(params, batch_stats, xb))[
-                : batch_size - pad])
-        else:
-            if mesh is not None and xb.shape[0] % mesh.size == 0:
-                xb = shard_batch(mesh, xb)
-            outs.append(np.asarray(predict_fn(params, batch_stats, xb)))
-    y = np.concatenate(outs)
+        elif mesh is not None and xb.shape[0] % mesh.size == 0:
+            xb = shard_batch(mesh, xb)
+        outs_dev.append(predict_fn(params, batch_stats, xb))
+        trims.append(trim)
+    y = np.concatenate([np.asarray(o)[:t]
+                        for o, t in zip(outs_dev, trims)])
     elapsed = time.time() - start
     if verbose:
         print(f"    predict: {m} frames in {elapsed:.2f}s  "
@@ -155,6 +169,10 @@ def train_network(
         augment=tc.augment, blur_prob=tc.blur_prob,
         indexed="epoch" if device_data else False, mesh=mesh,
         geo_augment=geo, grid=grid,
+        carry_compute_params=(getattr(mc, "backbone_dtype", "")
+                              or mc.compute_dtype),
+        carry_scope=("backbone" if getattr(mc, "backbone_dtype", "")
+                     else "all"),
     )
     predict_fn = make_predict_step(model)
     # full-val component losses from the (normalized) predictions, like
@@ -185,7 +203,11 @@ def train_network(
         if geo:
             arrays = arrays + (train_ds.rows, train_ds.row_mask)
         streamer = ChunkStreamer(arrays, chunk_len, n_chunks, put=put)
-        x_val_dev = jax.device_put(jnp.asarray(val_ds.x))
+        x_val_dev = (
+            put(jnp.asarray(val_ds.x))
+            if mesh is not None and val_ds.x.shape[0] % mesh.size == 0
+            else jax.device_put(jnp.asarray(val_ds.x))
+        )
         if verbose:
             print(f"    chunk-streamed dataset: "
                   f"{train_ds.x.nbytes / 1e9:.2f} GB in {n_chunks} "
@@ -204,7 +226,14 @@ def train_network(
         if geo:
             rows_all = put(jnp.asarray(train_ds.rows))
             mask_all = put(jnp.asarray(train_ds.row_mask))
-        x_val_dev = jax.device_put(jnp.asarray(val_ds.x))
+        # val set sharded over the mesh too (it previously landed whole
+        # on device 0, capping val-set scale and idling the mesh during
+        # the per-epoch sweep)
+        x_val_dev = (
+            put(jnp.asarray(val_ds.x))
+            if mesh is not None and val_ds.x.shape[0] % mesh.size == 0
+            else jax.device_put(jnp.asarray(val_ds.x))
+        )
         if verbose:
             print(f"    device-resident dataset: "
                   f"{(train_ds.x.nbytes + val_ds.x.nbytes) / 1e9:.2f} GB "
@@ -337,8 +366,9 @@ def train_network(
         # inference batch than the train batch so the per-epoch val sweep
         # is a handful of dispatches instead of hundreds (dispatch
         # latency dominates through the device tunnel)
-        infer_bs = max(tc.batch_size,
-                       min(256, int(np.asarray(x_val_dev.shape[0]))))
+        infer_bs = mc.clamp_infer_batch(
+            max(tc.batch_size, min(256, int(np.asarray(
+                x_val_dev.shape[0])))))
         y_pred, fps = predict_in_batches(
             predict_fn, state.params, state.batch_stats, x_val_dev,
             infer_bs, mesh=mesh, verbose=verbose > 1,

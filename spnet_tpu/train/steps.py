@@ -42,27 +42,43 @@ def _prep_x(x):
 L2_SCOPES = ("reference", "all", "none")
 
 
+def _l2_in_scope(path, scope: str) -> bool:
+    if getattr(path[-1], "key", None) != "kernel":
+        return False
+    if scope == "reference":
+        top = getattr(path[0], "key", "")
+        second = getattr(path[1], "key", "") if len(path) > 1 else ""
+        return (
+            top in ("stem", "final_output", "sigmoid_output",
+                    "dense_output")
+            or (top == "backbone" and second in ("conv1", "conv2",
+                                                 "block2"))
+        )
+    return True
+
+
 def kernel_l2(params, scope: str = "reference") -> jnp.ndarray:
     """Sum of squared conv/dense kernels (BN scales/biases excluded)."""
     if scope == "none":
         return jnp.zeros(())
     total = 0.0
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
-        if getattr(path[-1], "key", None) != "kernel":
+        if not _l2_in_scope(path, scope):
             continue
-        if scope == "reference":
-            top = getattr(path[0], "key", "")
-            second = getattr(path[1], "key", "") if len(path) > 1 else ""
-            in_scope = (
-                top in ("stem", "final_output", "sigmoid_output",
-                        "dense_output")
-                or (top == "backbone" and second in ("conv1", "conv2",
-                                                     "block2"))
-            )
-            if not in_scope:
-                continue
         total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
     return total
+
+
+def add_kernel_l2_grad(grads, params, l2_reg: float, scope: str):
+    """grads += d/dp [l2_reg * kernel_l2(p)] = 2*l2_reg*p on in-scope
+    kernel leaves — the analytic form, applied directly to the f32
+    master weights (used by the carried-compute-params path so the L2
+    term never has to read the rounded compute-dtype copies)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, g, p: (g + (2.0 * l2_reg) * p
+                            if _l2_in_scope(path, scope) else g),
+        grads, params,
+    )
 
 
 def make_train_step(
@@ -78,6 +94,8 @@ def make_train_step(
     mesh=None,
     geo_augment: bool = False,
     grid=None,
+    carry_compute_params: Any = None,
+    carry_scope: str = "all",
 ):
     """Returns train_step(state, x, y, rng) -> (state, metrics).
 
@@ -107,8 +125,38 @@ def make_train_step(
 
     if geo_augment and grid is None:
         raise ValueError("geo_augment=True requires the GridSpec")
+    carry_dtype = (jnp.dtype(carry_compute_params)
+                   if carry_compute_params is not None else None)
+    if carry_dtype == jnp.float32:
+        carry_dtype = None  # casting f32->f32 carries nothing
 
-    def _core(state: TrainState, x, y, rng, rows=None, mask=None):
+    def _cast_tree(params):
+        """Compute-dtype copy of the params.  carry_scope='backbone'
+        (mixed-precision split, ModelConfig.backbone_dtype): only the
+        backbone subtree is rounded — stem/head params stay the f32
+        masters, matching what the model's per-layer casts would do."""
+        if carry_scope == "backbone" and "backbone" in params:
+            return {
+                **params,
+                "backbone": jax.tree_util.tree_map(
+                    lambda p: p.astype(carry_dtype), params["backbone"]),
+            }
+        return jax.tree_util.tree_map(
+            lambda p: p.astype(carry_dtype), params)
+
+    def _core_h(state: TrainState, x, y, rng, rows=None, mask=None,
+                params_h=None):
+        """One optimizer step.  `params_h` (epoch path, bf16 compute):
+        a compute-dtype copy of the params carried ACROSS scan steps —
+        the forward/backward reads it directly, so the ~300 standalone
+        f32->compute convert ops per step (one per kernel, the round-3
+        profile's 'weight tiles converted per use') disappear; the
+        refreshed copy is produced inside the optimizer's elementwise
+        update fusion, where the cast is a free extra output.
+        Numerics are unchanged: the old path's autodiff THROUGH the
+        per-use cast already yielded exactly grad(compute-dtype copy)
+        cast back to f32 (modulo only the L2 term, which now reads the
+        rounded weights the forward actually used)."""
         x = _prep_x(x)
         aug_rng, geo_rng, dropout_rng = jax.random.split(rng, 3)
         if geo_augment:
@@ -137,13 +185,25 @@ def make_train_step(
                 data_loss = loss_components(y, out, loss_weights,
                                             loss_type)["total"]
             loss = data_loss
-            if l2_reg and l2_scope != "none":
+            if l2_reg and l2_scope != "none" and params_h is None:
                 loss = loss + l2_reg * kernel_l2(params, l2_scope)
             return loss, (updates["batch_stats"], data_loss)
 
+        diff_params = params_h if params_h is not None else state.params
         (loss, (new_stats, data_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params)
+        )(diff_params)
+        if params_h is not None:
+            # master weights stay f32: cast the compute-dtype grads up
+            # (fuses into the Adam update chain as an input convert)
+            grads = jax.tree_util.tree_map(
+                lambda g, p: g.astype(p.dtype), grads, state.params)
+            if l2_reg and l2_scope != "none":
+                # L2 on the f32 MASTER weights, analytically — same
+                # numerics as the non-carried path's autodiff'd term
+                grads = add_kernel_l2_grad(grads, state.params, l2_reg,
+                                           l2_scope)
+                loss = loss + l2_reg * kernel_l2(state.params, l2_scope)
         updates, new_opt = state.tx.update(grads, state.opt_state,
                                            state.params)
         new_params = jax.tree_util.tree_map(
@@ -160,6 +220,11 @@ def make_train_step(
             batch_stats=new_stats,
             opt_state=new_opt,
         )
+        new_h = _cast_tree(new_params) if params_h is not None else None
+        return new_state, metrics, new_h
+
+    def _core(state: TrainState, x, y, rng, rows=None, mask=None):
+        new_state, metrics, _ = _core_h(state, x, y, rng, rows, mask)
         return new_state, metrics
 
     if indexed == "epoch":
@@ -199,15 +264,19 @@ def make_train_step(
                 }
 
             def body(carry, inp):
-                st = carry
-                st, m = _core(
+                st, ph = carry
+                st, m, ph = _core_h(
                     st, inp["x"], inp["y"],
                     jax.random.fold_in(rng, inp["i"]),
                     rows=inp.get("rows"), mask=inp.get("mask"),
+                    params_h=ph,
                 )
-                return st, m["loss"]
+                return (st, ph), m["loss"]
 
-            state, losses = jax.lax.scan(body, state, scan_xs)
+            params_h0 = (_cast_tree(state.params)
+                         if carry_dtype is not None else None)
+            (state, _), losses = jax.lax.scan(
+                body, (state, params_h0), scan_xs)
             return state, losses
 
         if geo_augment:

@@ -162,6 +162,53 @@ def test_checkpoint_restores_optimizer_state(tmp_path):
     assert nonzero  # the moments are real data, not all-zero trees
 
 
+def test_checkpoint_opt_state_shape_mismatch_falls_back(tmp_path):
+    """A checkpoint whose optimizer leaves match in COUNT but not in
+    shape (e.g. a different head geometry) must resume weights-only,
+    not unflatten moments into the wrong slots (ADVICE r3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spnet_tpu.config import LossWeights
+    from spnet_tpu.io.checkpoint import restore_if_exists, \
+        save_checkpoint
+    from spnet_tpu.models.spnet import build_model
+    from spnet_tpu.train.schedule import onecycle_schedule
+    from spnet_tpu.train.state import create_train_state
+    from spnet_tpu.train.steps import make_train_step
+
+    cfg = _tiny_cfg()
+    model = build_model(cfg.model, num_outputs=cfg.grid.num_outputs)
+    sched = onecycle_schedule(1e-3, 100)
+    state = create_train_state(model, jax.random.key(0),
+                               jnp.zeros((4, 96, 96, 1)), sched)
+    step = make_train_step(model, LossWeights(), "same", augment=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (4, 96, 96, 1)).astype(np.float32))
+    y = jnp.asarray(rng.normal(0, 0.1, (4, cfg.grid.num_outputs))
+                    .astype(np.float32))
+    state, _ = step(state, x, y, jax.random.key(1))
+    save_checkpoint(str(tmp_path / "ck"), state, cfg)
+
+    # same tree structure / leaf count, different Dense-head shapes
+    fresh = create_train_state(model, jax.random.key(9),
+                               jnp.zeros((4, 64, 64, 1)), sched)
+    restored = restore_if_exists(str(tmp_path / "ck"), fresh)
+    for la, lb in zip(jax.tree_util.tree_leaves(fresh.opt_state),
+                      jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_stem_fused_infer_batch_clamp():
+    """stem_fused kernel-faults the TPU worker at b=512 eval (NOTES.md
+    round-3); every predict path clamps through ModelConfig."""
+    from spnet_tpu.config import ModelConfig
+
+    assert ModelConfig(stem_fused=True).clamp_infer_batch(512) == 256
+    assert ModelConfig(stem_fused=True).clamp_infer_batch(128) == 128
+    assert ModelConfig().clamp_infer_batch(512) == 512
+
+
 def test_eval_predictions_batch_size_independent():
     """The in-train val sweep and evaluate_network predict in LARGE
     batches rather than the train batch — valid only because eval-mode

@@ -396,3 +396,67 @@ def test_keras_xception_import_parity(tmp_path):
         np.asarray(bb_p2["middle3"]["sep2"]["pointwise"]["kernel"]),
         np.asarray(bb_p["middle3"]["sep2"]["pointwise"]["kernel"]),
     )
+
+
+def test_f32_config_computes_f32_throughout():
+    """Round-4 regression guard: Xception's _DownBlock/_MiddleBlock were
+    instantiated without dtype and silently computed bfloat16 even when
+    the config said float32 — which means the 'f32' accuracy-parity
+    recipe never actually ran f32 in blocks 2-4 + the middle flow.
+    Capture every submodule output of an f32-configured backbone and
+    require float32 everywhere."""
+    import jax
+
+    from spnet_tpu.models.xception import Xception
+
+    model = Xception(dtype=jnp.float32)
+    x = jnp.zeros((1, 71, 71, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, False)
+    _, st = model.apply(
+        variables, x, False,
+        capture_intermediates=lambda mdl, name: name == "__call__",
+    )
+    bad = []
+
+    def walk(tree, path=""):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, f"{path}/{k}")
+        elif isinstance(tree, (tuple, list)):
+            for i, v in enumerate(tree):
+                walk(v, f"{path}[{i}]")
+        elif hasattr(tree, "dtype"):
+            if tree.dtype != jnp.float32:
+                bad.append((path, str(tree.dtype)))
+
+    walk(st["intermediates"])
+    assert not bad, f"non-f32 intermediates in f32 config: {bad[:8]}"
+
+
+def test_mixed_precision_backbone_dtype_split():
+    """ModelConfig.backbone_dtype: stem + head compute in compute_dtype,
+    backbone in backbone_dtype (the speed/accuracy mixed recipe)."""
+    import jax
+
+    from spnet_tpu.config import ModelConfig
+    from spnet_tpu.models.spnet import build_model
+
+    cfg = ModelConfig(backbone="MobileNetTiny", input_size=64,
+                      compute_dtype="float32",
+                      backbone_dtype="bfloat16")
+    model = build_model(cfg, num_outputs=576)
+    x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    variables = model.init(jax.random.key(0), x, False)
+    out, st = model.apply(
+        variables, x, False,
+        capture_intermediates=lambda mdl, name: name == "__call__",
+    )
+    assert out.dtype == jnp.float32  # head is f32
+    inter = st["intermediates"]
+    stem_out = inter["stem"]["__call__"][0]
+    bb_out = inter["backbone"]["__call__"][0]
+    assert stem_out.dtype == jnp.float32
+    assert bb_out.dtype == jnp.bfloat16
+    # params stay f32 masters throughout
+    for leaf in jax.tree_util.tree_leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32

@@ -140,3 +140,80 @@ def test_augment_in_train_step_runs():
     x, y = _tiny_batch(2)
     state, m = step(state, x, y, jax.random.key(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_epoch_scan_carried_compute_params_matches_per_use_cast():
+    """The epoch program can carry a compute-dtype copy of the params
+    across scan steps (train/steps.py `carry_compute_params`) so the
+    per-step per-kernel f32->bf16 convert ops disappear.  The carried
+    copy is numerically the SAME thing the per-use casts produced, so
+    the two programs must track each other closely; with f32 compute
+    the carry is a no-op and must match exactly."""
+    model = SPNet(num_outputs=576, backbone="MobileNetTiny",
+                  dtype=jnp.bfloat16)
+    sched = onecycle_schedule(1e-3, total_steps=100)
+
+    def run(carry, steps):
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((2, 64, 64, 1)), sched)
+        step = make_train_step(model, LossWeights(), "same",
+                               l2_reg=1e-4, augment=False,
+                               indexed="epoch", carry_compute_params=carry)
+        g = GridSpec()
+        rng = np.random.default_rng(0)
+        n, b = 8, 2
+        x_all = jnp.asarray(
+            rng.integers(0, 256, (n, 64, 64, 1)).astype(np.uint8))
+        y_all = jnp.asarray(normalize(
+            np.tile(g.defaults.reshape(-1), (n, 1)), g).astype(np.float32))
+        idx = jnp.asarray(
+            rng.integers(0, n, (steps, b)).astype(np.int32))
+        state, losses = step(state, x_all, y_all, idx, jax.random.key(1))
+        return np.asarray(losses), jax.tree_util.tree_map(
+            np.asarray, state.params)
+
+    # one step: identical math (the carried copy IS what the per-use
+    # casts produced; L2 reads the f32 masters in both paths), so the
+    # loss must match to f32 noise and the updated masters must agree
+    # to reassociation-level tolerance
+    base_losses, base_params = run(None, 1)
+    carried_losses, carried_params = run("bfloat16", 1)
+    np.testing.assert_allclose(carried_losses, base_losses, rtol=1e-5)
+    # Adam normalizes by sqrt(v): low-bit grad reassociation noise can
+    # reach ~lr/10 on individual elements — bound by a fraction of lr
+    # (1e-3 here), not by relative error
+    for a, b in zip(jax.tree_util.tree_leaves(base_params),
+                    jax.tree_util.tree_leaves(carried_params)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=2e-4)
+
+    # several chained steps: the two compiled programs place converts
+    # differently, so low-bit f32 reassociation differences get
+    # amplified by bf16 forward rounding — the trajectories must stay
+    # finite and track loosely
+    base_losses, _ = run(None, 4)
+    carried_losses, _ = run("bfloat16", 4)
+    assert np.all(np.isfinite(carried_losses))
+    np.testing.assert_allclose(carried_losses, base_losses, rtol=5e-2)
+
+    # f32 compute: carry must be a structural no-op (exact match)
+    model_f32 = SPNet(num_outputs=576, backbone="MobileNetTiny",
+                      dtype=jnp.float32)
+
+    def run_f32(carry):
+        state = create_train_state(
+            model_f32, jax.random.key(0), jnp.zeros((2, 64, 64, 1)),
+            sched)
+        step = make_train_step(model_f32, LossWeights(), "same",
+                               l2_reg=1e-4, augment=False,
+                               indexed="epoch", carry_compute_params=carry)
+        g = GridSpec()
+        rng = np.random.default_rng(0)
+        x_all = jnp.asarray(
+            rng.integers(0, 256, (8, 64, 64, 1)).astype(np.uint8))
+        y_all = jnp.asarray(normalize(
+            np.tile(g.defaults.reshape(-1), (8, 1)), g).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 8, (4, 2)).astype(np.int32))
+        _, losses = step(state, x_all, y_all, idx, jax.random.key(1))
+        return np.asarray(losses)
+
+    np.testing.assert_array_equal(run_f32("float32"), run_f32(None))

@@ -76,10 +76,17 @@ def main(batch_size: int = 128, steps_per_epoch: int = 160,
         model, jax.random.key(0),
         jnp.zeros((batch_size, mc.input_size, mc.input_size, 1)), sched,
     )
+    # SPNET_BENCH_CARRY=1 enables the carried compute-dtype params.
+    # Round-4 A/B on real TPU: carry ON 2747.5 vs OFF 2859.7 img/s —
+    # XLA already fuses the per-use f32->bf16 converts, so eliminating
+    # them buys nothing and the extra scan-carry tree costs 4%.  The
+    # per-use-cast path is the production default.
+    carry = (mc.compute_dtype
+             if os.environ.get("SPNET_BENCH_CARRY", "0") == "1" else None)
     epoch_step = make_train_step(
         model, LossWeights(), mc.loss_type, l2_reg=mc.l2_reg,
         augment=True, indexed="epoch",
-        carry_compute_params=mc.compute_dtype,
+        carry_compute_params=carry,
     )
 
     def idx_mat(seed, steps):

@@ -30,7 +30,12 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    for h, w, c in ((11, 11, 728), (21, 21, 728), (42, 42, 256)):
+    # Xception-331 shapes: middle flow 21x21x728 (16 convs), exit flow
+    # 11x11 at growing widths (exit_sep3/4), plus the 42x42 level.
+    # f != c shapes can't chain output->input, so those run f=c but at
+    # the exit-flow widths.
+    for h, w, c in ((11, 11, 728), (11, 11, 1024), (11, 11, 1536),
+                    (21, 21, 728), (42, 42, 256)):
         x = jnp.asarray(
             rng.normal(0, 1, (batch, h, w, c)).astype(np.float32)
         ).astype(jnp.bfloat16)

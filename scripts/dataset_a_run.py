@@ -79,7 +79,10 @@ def main():
         grid=GridSpec(),
         model=ModelConfig(backbone=backbone, input_size=input_size,
                           compute_dtype=dtype,
-                          remat=input_size == 0),
+                          backbone_dtype=os.environ.get(
+                              "SPNET_BACKBONE_DTYPE", ""),
+                          remat=(input_size == 0
+                                 or os.environ.get("SPNET_REMAT") == "1")),
         train=TrainConfig(batch_size=batch, epochs=epochs, lr_max=lr_max,
                           augment=True, blur_prob=0.0, save_every=10,
                           seed=0),

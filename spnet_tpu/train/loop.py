@@ -17,6 +17,7 @@ progress.png, overlay renders of the first 40 val frames.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -169,8 +170,13 @@ def train_network(
         augment=tc.augment, blur_prob=tc.blur_prob,
         indexed="epoch" if device_data else False, mesh=mesh,
         geo_augment=geo, grid=grid,
-        carry_compute_params=(getattr(mc, "backbone_dtype", "")
-                              or mc.compute_dtype),
+        # carried compute-dtype params measured SLOWER on real TPU
+        # (2747.5 vs 2859.7 img/s, round-4 A/B — XLA already fuses the
+        # per-use converts); keep the per-use-cast default.  Opt in via
+        # SPNET_CARRY_PARAMS=1 for re-measurement on newer toolchains.
+        carry_compute_params=(
+            (getattr(mc, "backbone_dtype", "") or mc.compute_dtype)
+            if os.environ.get("SPNET_CARRY_PARAMS", "") == "1" else None),
         carry_scope=("backbone" if getattr(mc, "backbone_dtype", "")
                      else "all"),
     )
@@ -436,8 +442,6 @@ def train_network(
                            ("lr", float(state.schedule(state.step)))):
                 tb.add_scalar(tag, v, epoch)
             try:  # per-epoch overlay image (reference callbacks.py:239-248)
-                import os
-
                 from PIL import Image as _Image
 
                 src = os.path.join(log_dir, "steelpan_pred_00000.png")

@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-4 TPU run queue (one TPU process at a time; touch
+# /tmp/stop_queue to stop between steps).
+cd /root/repo
+
+step() {
+  [ -f /tmp/stop_queue ] && echo "QUEUE STOPPED before: $1" && exit 0
+  echo "QUEUE STEP: $1 ($(date +%H:%M:%S))"
+}
+
+step "384 full-f32 150ep"
+SPNET_CKPT=logs/r4_384_ckpt SPNET_LOGDIR=logs/r4_384 SPNET_REMAT=1 \
+  python -u scripts/dataset_a_run.py 150 16 4e-5 40960 float32 384 \
+  > /tmp/r4_384b.log 2>&1
+
+step "331 full-f32 100ep"
+SPNET_CKPT=logs/r4_331f32_ckpt SPNET_LOGDIR=logs/r4_331f32 \
+  python -u scripts/dataset_a_run.py 100 16 4e-5 40960 float32 331 \
+  > /tmp/r4_331f32.log 2>&1
+
+step "backbone sweep 25ep b=32"
+for bb in MobileNet DarkNet19 InceptionResNetV2 NASNetMobile; do
+  [ -f /tmp/stop_queue ] && echo "QUEUE STOPPED at sweep:$bb" && exit 0
+  SPNET_LOGDIR=logs/r4_sweep_$bb \
+    python -u scripts/dataset_a_run.py 25 32 1e-4 40960 bfloat16 331 $bb \
+    > /tmp/r4_sweep_$bb.log 2>&1
+done
+
+step "dataset-D-shaped small-data"
+python -u scripts/dataset_d_run.py 1280 12 > /tmp/r4_datasetd.log 2>&1
+
+echo "QUEUE DONE ($(date +%H:%M:%S))" > /tmp/r4_queue.done

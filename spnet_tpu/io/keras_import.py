@@ -203,7 +203,17 @@ def load_keras_backbone(path_or_model, backbone: str) -> tuple[dict, dict]:
         return keras_xception_to_flax(model)
     raise ValueError(
         f"pretrained Keras import supports MobileNet and Xception, "
-        f"not {backbone!r}"
+        f"not {backbone!r}.  InceptionResNetV2 / NASNetMobile are "
+        f"deliberately scratch-only: the reference itself never loads "
+        f"pretrained weights for ANY headline run (models.py:359 "
+        f"passes weights=None even for Xception), its non-Xception "
+        f"backbones exist only as menu options, and both remaining "
+        f"mappings (43 residual blocks with interleaved mixed blocks; "
+        f"NASNet's generated cell naming) add ~500 lines of "
+        f"name-plumbing with no run that would consume them.  The "
+        f"MobileNet + Xception importers cover both backbones the "
+        f"reference ever ran (models.py:349-359) and serve as the "
+        f"pattern if a use case appears."
     )
 
 

@@ -29,4 +29,10 @@ done
 step "dataset-D-shaped small-data"
 python -u scripts/dataset_d_run.py 1280 12 > /tmp/r4_datasetd.log 2>&1
 
+step "mixed-precision recipe (f32 stem+head, bf16 backbone) 100ep"
+SPNET_CKPT=logs/r4_mixed_ckpt SPNET_LOGDIR=logs/r4_mixed \
+  SPNET_BACKBONE_DTYPE=bfloat16 \
+  python -u scripts/dataset_a_run.py 100 16 4e-5 40960 float32 331 \
+  > /tmp/r4_mixed.log 2>&1
+
 echo "QUEUE DONE ($(date +%H:%M:%S))" > /tmp/r4_queue.done

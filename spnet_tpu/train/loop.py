@@ -145,16 +145,24 @@ def train_network(
     # each epoch as ONE device program — zero per-step host->device
     # traffic.  The epoch program holds a permuted copy of X, hence the
     # 2x term in the budget.
+    n_dev = mesh.size if mesh is not None else 1
+    # The pre-gathered permuted epoch copy (2x term) is a throughput
+    # optimization, not a requirement: when 2x the train set would not
+    # leave headroom (or would trip the sublane-padded layout OOM that
+    # a 40960-frame 384² epoch reshape hits on 16 GB HBM), fall back to
+    # in-scan minibatch gathers from the single resident copy.  Budgets
+    # are conservative (val counted unsharded).
+    pregather = (
+        2 * train_ds.x.nbytes / n_dev + val_ds.x.nbytes
+        < 10 * 1024**3
+    )
     if device_data is None:
-        # budget against v5e-class HBM (16 GB): dataset + the permuted
-        # epoch copy + val, leaving ~4 GB for params/opt/activations
-        # train set (+ its permuted epoch copy) is sharded over the mesh;
-        # the val set is device_put WITHOUT sharding, so it lands whole
-        # on device 0 and must be budgeted unsharded
-        n_dev = mesh.size if mesh is not None else 1
+        # budget against v5e-class HBM (16 GB): resident dataset
+        # (+ permuted epoch copy when pregathering) + val, leaving
+        # ~4 GB for params/opt/activations
         device_data = (
-            2 * train_ds.x.nbytes / n_dev + val_ds.x.nbytes
-            < 12 * 1024**3
+            (2 if pregather else 1) * train_ds.x.nbytes / n_dev
+            + val_ds.x.nbytes < 12 * 1024**3
         )
         if not device_data:
             # dataset larger than HBM: stream fixed-size chunks instead
@@ -169,7 +177,7 @@ def train_network(
         model, cfg.loss_weights, mc.loss_type, l2_reg=mc.l2_reg,
         augment=tc.augment, blur_prob=tc.blur_prob,
         indexed="epoch" if device_data else False, mesh=mesh,
-        geo_augment=geo, grid=grid,
+        geo_augment=geo, grid=grid, pregather=pregather,
         # carried compute-dtype params measured SLOWER on real TPU
         # (2747.5 vs 2859.7 img/s, round-4 A/B — XLA already fuses the
         # per-use converts); keep the per-use-cast default.  Opt in via

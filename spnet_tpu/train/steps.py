@@ -96,6 +96,7 @@ def make_train_step(
     grid=None,
     carry_compute_params: Any = None,
     carry_scope: str = "all",
+    pregather: bool = True,
 ):
     """Returns train_step(state, x, y, rng) -> (state, metrics).
 
@@ -238,37 +239,66 @@ def make_train_step(
             tunneled devices) and no per-step random gathers inside the
             scan (the round-1 profile showed those at 18% of summed op
             time).  The permuted copy is uint8 when the dataset is, so
-            the extra HBM is bytes-per-pixel, not float32."""
+            the extra HBM is bytes-per-pixel, not float32.
+
+            With `pregather=False` the permuted copy is skipped: each
+            scan step gathers its minibatch from the resident dataset
+            inside the scan body (a few MB per step at recipe batch
+            sizes).  This is the big-input path — at 384²+ the rank-5
+            permuted-epoch reshape picks a sublane-padded TPU layout
+            that 4x-inflates the u8 copy (24 GB at input_size=384 /
+            40960 frames: compile-time HBM OOM), while the single
+            resident copy fits comfortably."""
             steps, bs = idx_mat.shape
-            flat = idx_mat.reshape(-1)
-            x_ep = x_all[flat].reshape((steps, bs) + x_all.shape[1:])
-            y_ep = y_all[flat].reshape((steps, bs) + y_all.shape[1:])
-            scan_xs = {"x": x_ep, "y": y_ep, "i": jnp.arange(steps)}
-            if geo_augment:
-                scan_xs["rows"] = rows_all[flat].reshape(
-                    (steps, bs) + rows_all.shape[1:]
-                )
-                scan_xs["mask"] = mask_all[flat].reshape(
-                    (steps, bs) + mask_all.shape[1:]
-                )
+            batch_sharding = None
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 from spnet_tpu.parallel.mesh import DATA_AXIS
 
-                s = NamedSharding(mesh, P(None, DATA_AXIS))
-                scan_xs = {
-                    k: (jax.lax.with_sharding_constraint(v, s)
-                        if k != "i" else v)
-                    for k, v in scan_xs.items()
-                }
+                batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+            if pregather:
+                flat = idx_mat.reshape(-1)
+                x_ep = x_all[flat].reshape((steps, bs) + x_all.shape[1:])
+                y_ep = y_all[flat].reshape((steps, bs) + y_all.shape[1:])
+                scan_xs = {"x": x_ep, "y": y_ep, "i": jnp.arange(steps)}
+                if geo_augment:
+                    scan_xs["rows"] = rows_all[flat].reshape(
+                        (steps, bs) + rows_all.shape[1:]
+                    )
+                    scan_xs["mask"] = mask_all[flat].reshape(
+                        (steps, bs) + mask_all.shape[1:]
+                    )
+                if mesh is not None:
+                    s = NamedSharding(mesh, P(None, DATA_AXIS))
+                    scan_xs = {
+                        k: (jax.lax.with_sharding_constraint(v, s)
+                            if k != "i" else v)
+                        for k, v in scan_xs.items()
+                    }
+            else:
+                scan_xs = {"idx": idx_mat, "i": jnp.arange(steps)}
+
+            def _shard(b):
+                if batch_sharding is None or b is None:
+                    return b
+                return jax.lax.with_sharding_constraint(b, batch_sharding)
 
             def body(carry, inp):
                 st, ph = carry
+                if pregather:
+                    xb, yb = inp["x"], inp["y"]
+                    rows, mask = inp.get("rows"), inp.get("mask")
+                else:
+                    idx = inp["idx"]
+                    xb = _shard(x_all[idx])
+                    yb = _shard(y_all[idx])
+                    rows = _shard(rows_all[idx]) if geo_augment else None
+                    mask = _shard(mask_all[idx]) if geo_augment else None
                 st, m, ph = _core_h(
-                    st, inp["x"], inp["y"],
+                    st, xb, yb,
                     jax.random.fold_in(rng, inp["i"]),
-                    rows=inp.get("rows"), mask=inp.get("mask"),
+                    rows=rows, mask=mask,
                     params_h=ph,
                 )
                 return (st, ph), m["loss"]

@@ -217,3 +217,38 @@ def test_epoch_scan_carried_compute_params_matches_per_use_cast():
         return np.asarray(losses)
 
     np.testing.assert_array_equal(run_f32("float32"), run_f32(None))
+
+
+def test_epoch_scan_no_pregather_matches_pregather():
+    """pregather=False (the big-input path: in-scan minibatch gathers
+    from the resident dataset instead of a permuted epoch copy —
+    train/steps.py) consumes the SAME minibatches in the same order, so
+    with f32 compute the whole trajectory must match exactly."""
+    model = SPNet(num_outputs=576, backbone="MobileNetTiny",
+                  dtype=jnp.float32)
+    sched = onecycle_schedule(1e-3, total_steps=100)
+    g = GridSpec()
+    rng = np.random.default_rng(0)
+    n, b, steps = 8, 2, 4
+    x_all = jnp.asarray(
+        rng.integers(0, 256, (n, 64, 64, 1)).astype(np.uint8))
+    y_all = jnp.asarray(normalize(
+        np.tile(g.defaults.reshape(-1), (n, 1)), g).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (steps, b)).astype(np.int32))
+
+    def run(pregather):
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((b, 64, 64, 1)), sched)
+        step = make_train_step(model, LossWeights(), "same",
+                               l2_reg=1e-4, augment=True,
+                               indexed="epoch", pregather=pregather)
+        state, losses = step(state, x_all, y_all, idx, jax.random.key(1))
+        return np.asarray(losses), jax.tree_util.tree_map(
+            np.asarray, state.params)
+
+    losses_pg, params_pg = run(True)
+    losses_ng, params_ng = run(False)
+    np.testing.assert_allclose(losses_ng, losses_pg, rtol=1e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(params_pg),
+                    jax.tree_util.tree_leaves(params_ng)):
+        np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-7)

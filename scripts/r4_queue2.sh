@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-4 TPU run queue, part 2 (launched after r4_queue.sh stopped at
+# /tmp/stop_queue).  Reordered by VERDICT priority: the 384 resolution
+# run (the beat-96.5% lever; failed earlier on the pre-fix pregather
+# OOM) first, then the mixed-precision recipe, then dataset-D, then the
+# backbone sweep.  One TPU process at a time; touch /tmp/stop_queue2 to
+# stop between steps.
+cd /root/repo
+
+step() {
+  [ -f /tmp/stop_queue2 ] && echo "QUEUE2 STOPPED before: $1" && exit 0
+  echo "QUEUE2 STEP: $1 ($(date +%H:%M:%S))"
+}
+
+step "384 full-f32 150ep (no-pregather path)"
+SPNET_CKPT=logs/r4_384_ckpt SPNET_LOGDIR=logs/r4_384 SPNET_REMAT=1 \
+  python -u scripts/dataset_a_run.py 150 16 4e-5 40960 float32 384 \
+  > /tmp/r4_384c.log 2>&1
+
+step "mixed-precision recipe (f32 stem+head, bf16 backbone) 100ep"
+SPNET_CKPT=logs/r4_mixed_ckpt SPNET_LOGDIR=logs/r4_mixed \
+  SPNET_BACKBONE_DTYPE=bfloat16 \
+  python -u scripts/dataset_a_run.py 100 16 4e-5 40960 float32 331 \
+  > /tmp/r4_mixed.log 2>&1
+
+step "dataset-D-shaped small-data"
+python -u scripts/dataset_d_run.py 1280 12 > /tmp/r4_datasetd.log 2>&1
+
+step "backbone sweep 25ep b=32"
+for bb in MobileNet DarkNet19 InceptionResNetV2 NASNetMobile; do
+  [ -f /tmp/stop_queue2 ] && echo "QUEUE2 STOPPED at sweep:$bb" && exit 0
+  SPNET_LOGDIR=logs/r4_sweep_$bb \
+    python -u scripts/dataset_a_run.py 25 32 1e-4 40960 bfloat16 331 $bb \
+    > /tmp/r4_sweep_$bb.log 2>&1
+done
+
+echo "QUEUE2 DONE ($(date +%H:%M:%S))" > /tmp/r4_queue2.done

@@ -66,6 +66,18 @@ def _cached_synth(n, cfg, seed, batch=None, blur=None,
 
 
 def main():
+    # SPNET_MATMUL_PRECISION=highest: true-f32 MXU passes (bf16x3/x6
+    # decomposition).  JAX's DEFAULT precision truncates f32 matmul/conv
+    # inputs to bf16 on TPU — the reference's GPU convs are true f32, so
+    # even the round-3/4 "f32 parity" runs differed from it inside every
+    # conv.  This knob is the discriminating experiment for the residual
+    # ~1-pt ring-acc gap that survived the refgen run (VALIDATION §2a).
+    prec = os.environ.get("SPNET_MATMUL_PRECISION", "")
+    if prec:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", prec)
+        print(f"  (jax_default_matmul_precision = {prec})")
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     lr_max = float(sys.argv[3]) if len(sys.argv) > 3 else 4e-5

@@ -1,10 +1,13 @@
 #!/bin/bash
 # Round-4 TPU run queue, part 2 (launched after r4_queue.sh stopped at
-# /tmp/stop_queue).  Reordered by VERDICT priority: the 384 resolution
-# run (the beat-96.5% lever; failed earlier on the pre-fix pregather
-# OOM) first, then the mixed-precision recipe, then dataset-D, then the
-# backbone sweep.  One TPU process at a time; touch /tmp/stop_queue2 to
-# stop between steps.
+# /tmp/stop_queue).  Order: the true-f32-conv precision experiment
+# first (shortest discriminating run for the residual ~1-pt gap that
+# survived the refgen experiment — and its outcome decides whether the
+# 384 resolution run should also use highest precision), then the 384
+# run (the beat-96.5% lever; its first attempt hit the pre-fix
+# pregather OOM), then mixed-precision, dataset-D, backbone sweep.
+# One TPU process at a time; touch /tmp/stop_queue2 to stop between
+# steps.
 cd /root/repo
 
 step() {
@@ -12,8 +15,17 @@ step() {
   echo "QUEUE2 STEP: $1 ($(date +%H:%M:%S))"
 }
 
+step "331 f32 + HIGHEST matmul precision 100ep (true-f32 convs)"
+SPNET_CKPT=logs/r4_prec_ckpt SPNET_LOGDIR=logs/r4_prec \
+  SPNET_MATMUL_PRECISION=highest \
+  python -u scripts/dataset_a_run.py 100 16 4e-5 40960 float32 331 \
+  > /tmp/r4_prec.log 2>&1
+
 step "384 full-f32 150ep (no-pregather path)"
+# SPNET_384_PRECISION is set (to 'highest') by the session driver once
+# the precision experiment's verdict is in; empty = default precision.
 SPNET_CKPT=logs/r4_384_ckpt SPNET_LOGDIR=logs/r4_384 SPNET_REMAT=1 \
+  SPNET_MATMUL_PRECISION="$(cat /tmp/spnet_384_precision 2>/dev/null)" \
   python -u scripts/dataset_a_run.py 150 16 4e-5 40960 float32 384 \
   > /tmp/r4_384c.log 2>&1
 

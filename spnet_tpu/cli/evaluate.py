@@ -25,6 +25,10 @@ def main(argv=None):
     p.add_argument("-b", "--batch_size", type=int, default=16)
     p.add_argument("--no-map", action="store_true",
                    help="skip the (rasterized-IoU) mAP computation")
+    p.add_argument("--tta", default="",
+                   help="flip test-time-augmentation ensemble: comma-"
+                        "separated views from {h,v,hv} (e.g. 'h,v,hv'); "
+                        "empty = single direct sweep like the reference")
     args = p.parse_args(argv)
 
     cfg, model, state = load_model_and_state(args.weights)
@@ -34,7 +38,7 @@ def main(argv=None):
         input_size=cfg.model.input_size or None,
     )
     evaluate_network(cfg, state, model, ds, log_dir=args.logdir,
-                     compute_map=not args.no_map)
+                     compute_map=not args.no_map, tta=args.tta)
 
     # post-evaluation weights artifact (reference saves
     # `eval_end_weights.hdf5` after evaluating, evaluate_spnet.py:118-120)

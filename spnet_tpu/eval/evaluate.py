@@ -29,6 +29,7 @@ def evaluate_network(
     log_dir: str = "logs/Testing/",
     num_draw: int | None = None,
     compute_map: bool = True,
+    tta: str = "",
     verbose: int = 1,
 ) -> dict:
     """Returns a metrics dict (mAP, accuracies, pixel error, FPS)."""
@@ -51,14 +52,28 @@ def evaluate_network(
         import jax
 
         x_eval = jax.device_put(np.asarray(x_eval))
-    y_pred, fps = predict_in_batches(
-        predict_fn, state.params, state.batch_stats, x_eval,
-        infer_bs, verbose=verbose,
-    )
+    decode = None
     if cfg.model.loss_type != "same":
-        y_pred[:, IND_NOOBJ::VARS_PER_PRED] = 1.0 / (
-            1.0 + np.exp(-y_pred[:, IND_NOOBJ::VARS_PER_PRED])
+        decode = lambda z: 1.0 / (1.0 + np.exp(-z))  # noqa: E731
+    if tta:
+        from spnet_tpu.eval.tta import predict_tta
+
+        modes = tuple(m for m in tta.split(",") if m)
+        y_pred, fps = predict_tta(
+            predict_fn, state.params, state.batch_stats, x_eval,
+            infer_bs, cfg.grid, modes=modes, decode_noobj=decode,
+            verbose=verbose,
         )
+        if verbose:
+            print(f"    TTA ensemble over views: direct + {modes}")
+    else:
+        y_pred, fps = predict_in_batches(
+            predict_fn, state.params, state.batch_stats, x_eval,
+            infer_bs, verbose=verbose,
+        )
+        if decode is not None:
+            y_pred[:, IND_NOOBJ::VARS_PER_PRED] = decode(
+                y_pred[:, IND_NOOBJ::VARS_PER_PRED])
     yt = denormalize(test_ds.y, cfg.grid)
     yp = denormalize(y_pred, cfg.grid)
 

@@ -1,0 +1,156 @@
+"""Flip test-time-augmentation (eval/tta.py).
+
+Oracle strategy: the grid codec itself plays the network.  For a scene
+of ellipses, the "prediction from a flipped input" is exactly the grid
+encode of the flipped scene (in flipped-image coordinates) — so
+flipback + merge must reconstruct the direct encode.  This pins the
+coordinate/angle transforms, the cell-axis reversals, and the per-cell
+slot matching without any model in the loop.
+"""
+
+import numpy as np
+import pytest
+
+from spnet_tpu.config import (
+    IND_ANGLE2,
+    IND_CX,
+    IND_CY,
+    IND_NOOBJ,
+    GridSpec,
+)
+from spnet_tpu.eval.tta import (
+    TTA_MODES,
+    flip_images,
+    flipback_grid,
+    merge_views,
+    predict_tta,
+)
+from spnet_tpu.grid import batch_ellipses_to_grid, normalize
+
+
+GRID = GridSpec()
+
+
+def _flip_records(recs: np.ndarray, mode: str) -> np.ndarray:
+    """Ground-truth transform of canonical ellipse records under an
+    image flip (the label remap the augmentation module also applies:
+    reference `augmentation.py:82-114`)."""
+    out = recs.copy()
+    if "h" in mode:
+        out[:, IND_CX] = GRID.img_width - out[:, IND_CX]
+        out[:, IND_ANGLE2] = -out[:, IND_ANGLE2]
+    if "v" in mode:
+        out[:, IND_CY] = GRID.img_height - out[:, IND_CY]
+        out[:, IND_ANGLE2] = -out[:, IND_ANGLE2]
+    return out
+
+
+def _scene(rng, n, near_center=True):
+    """Canonical records [cx,cy,a,b,cos2θ,sin2θ,noobj=0,rings] with
+    centers near cell centers (so a flip never crosses a cell
+    boundary — the active region [40,470]x[40,350] is not symmetric
+    under W-cx/H-cy, which shifts in-cell offsets by 2 px)."""
+    cxs = GRID.cx_min + GRID.xbinsize * (
+        rng.integers(0, GRID.nx, n) + 0.5)
+    cys = GRID.cy_min + GRID.ybinsize * (
+        rng.integers(0, GRID.ny, n) + 0.5)
+    theta = rng.uniform(0, np.pi, n)
+    a = rng.uniform(20, 60, n)
+    b = a * rng.uniform(0.4, 0.95, n)
+    rings = rng.integers(1, 11, n).astype(np.float64)
+    recs = np.stack(
+        [cxs, cys, a, b, np.cos(2 * theta), np.sin(2 * theta),
+         np.zeros(n), rings], axis=1)
+    return recs.astype(np.float32)
+
+
+@pytest.mark.parametrize("mode", TTA_MODES)
+def test_flipback_reconstructs_direct_encode(mode):
+    rng = np.random.default_rng(hash(mode) % 2**32)
+    scenes = [_scene(rng, rng.integers(1, 6)) for _ in range(8)]
+    direct = batch_ellipses_to_grid(scenes, GRID)
+    flipped = batch_ellipses_to_grid(
+        [_flip_records(s, mode) for s in scenes], GRID)
+    view = flipback_grid(flipped, mode, GRID)
+    merged = merge_views(direct, [view], GRID)
+    np.testing.assert_allclose(merged, direct, rtol=1e-5, atol=2e-3)
+
+
+def test_slot_matching_two_per_cell():
+    """Two ellipses in ONE cell, flipped view encoded in reversed record
+    order: the per-cell pairing must re-align the slots."""
+    r1 = np.array([[150.0, 120.0, 40, 25, 0.6, 0.8, 0, 3]], np.float32)
+    r2 = np.array([[170.0, 140.0, 30, 20, -0.6, 0.8, 0, 5]], np.float32)
+    scene = np.concatenate([r1, r2])
+    assert GRID.xbinsize == 71  # both centers in cell ix=1, iy=1
+    direct = batch_ellipses_to_grid([scene], GRID)
+    flipped_scene = _flip_records(scene, "h")[::-1]  # reversed order
+    flipped = batch_ellipses_to_grid([flipped_scene], GRID)
+    merged = merge_views(direct, [flipback_grid(flipped, "h", GRID)],
+                         GRID)
+    np.testing.assert_allclose(merged, direct, rtol=1e-5, atol=2e-3)
+
+
+def test_merge_averages_noise():
+    """With p=1 on both views, merged geometry is the plain mean."""
+    rng = np.random.default_rng(7)
+    scene = [_scene(rng, 3)]
+    direct = batch_ellipses_to_grid(scene, GRID)
+    noisy = direct.reshape((1,) + GRID.pred_shape).copy()
+    occupied = noisy[..., IND_NOOBJ] < 0.5
+    noisy[..., IND_CX] += 4.0 * occupied  # shift occupied centers
+    merged = merge_views(
+        direct, [noisy.reshape(1, GRID.num_outputs)
+                 .reshape((1,) + GRID.pred_shape)], GRID
+    ).reshape((1,) + GRID.pred_shape)
+    d5 = direct.reshape((1,) + GRID.pred_shape)
+    exp = d5[..., IND_CX] + 2.0 * occupied
+    np.testing.assert_allclose(merged[..., IND_CX], exp, atol=1e-3)
+    # empty slots keep the direct defaults
+    np.testing.assert_allclose(
+        merged[~occupied][:, IND_CY], d5[~occupied][:, IND_CY], atol=1e-5)
+
+
+def test_flip_images_axes():
+    x = np.arange(2 * 3 * 4 * 1, dtype=np.uint8).reshape(2, 3, 4, 1)
+    np.testing.assert_array_equal(flip_images(x, "h"), x[:, :, ::-1])
+    np.testing.assert_array_equal(flip_images(x, "v"), x[:, ::-1])
+    np.testing.assert_array_equal(
+        flip_images(x, "hv"), x[:, ::-1, ::-1])
+
+
+def test_predict_tta_with_oracle_predictor():
+    """End-to-end through predict_tta: the fake predictor decodes which
+    flip it received by a corner marker and returns the normalized
+    encode of the correspondingly-flipped scene.  The TTA ensemble must
+    reproduce the direct normalized prediction."""
+    rng = np.random.default_rng(3)
+    scenes = [_scene(rng, 3) for _ in range(4)]
+    encodes = {
+        mode: np.asarray(normalize(batch_ellipses_to_grid(
+            [_flip_records(s, mode) for s in scenes], GRID), GRID))
+        for mode in ("", "h", "v", "hv")
+    }
+    # marker image: a unique corner pixel pattern identifies the flip
+    x = np.zeros((4, 8, 8, 1), np.float32)
+    x[:, 0, 0, 0] = 1.0  # direct marker at (0,0)
+
+    def fake_predict(params, batch_stats, xb):
+        xb = np.asarray(xb)
+        if xb[0, 0, 0, 0] == 1.0:
+            mode = ""
+        elif xb[0, 0, -1, 0] == 1.0:
+            mode = "h"
+        elif xb[0, -1, 0, 0] == 1.0:
+            mode = "v"
+        else:
+            mode = "hv"
+        out = encodes[mode]
+        return out[: xb.shape[0]] if xb.shape[0] <= len(out) else (
+            np.concatenate([out, np.zeros(
+                (xb.shape[0] - len(out), out.shape[1]), out.dtype)]))
+
+    y, fps = predict_tta(fake_predict, None, None, x, 4, GRID,
+                         modes=("h", "v", "hv"), verbose=0)
+    np.testing.assert_allclose(y, encodes[""], rtol=1e-4, atol=1e-5)
+    assert fps > 0

@@ -47,3 +47,16 @@ for bb in MobileNet DarkNet19 InceptionResNetV2 NASNetMobile; do
 done
 
 echo "QUEUE2 DONE ($(date +%H:%M:%S))" > /tmp/r4_queue2.done
+
+step "TTA evals of round-4 checkpoints"
+python -u scripts/eval_tta.py logs/r4_384_ckpt synth > /tmp/r4_tta_384.log 2>&1
+python -u scripts/eval_tta.py logs/r4_331f32_ckpt synth > /tmp/r4_tta_331.log 2>&1
+python -u scripts/eval_tta.py logs/r4_refgen_ckpt refgen > /tmp/r4_tta_refgen.log 2>&1
+
+step "precision retry: 331 f32 + HIGH (bf16x3) 100ep"
+SPNET_CKPT=logs/r4_prec_ckpt SPNET_LOGDIR=logs/r4_prec \
+  SPNET_MATMUL_PRECISION=high \
+  python -u scripts/dataset_a_run.py 100 16 4e-5 40960 float32 331 \
+  > /tmp/r4_prec2.log 2>&1
+
+echo "QUEUE2 ALL DONE ($(date +%H:%M:%S))" >> /tmp/r4_queue2.done

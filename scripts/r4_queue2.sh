@@ -60,3 +60,6 @@ SPNET_CKPT=logs/r4_prec_ckpt SPNET_LOGDIR=logs/r4_prec \
   > /tmp/r4_prec2.log 2>&1
 
 echo "QUEUE2 ALL DONE ($(date +%H:%M:%S))" >> /tmp/r4_queue2.done
+
+step "ring-width breakdown of the 384 checkpoint"
+python -u scripts/eval_breakdown.py logs/r4_384_ckpt > /tmp/r4_breakdown_384.log 2>&1

@@ -109,7 +109,9 @@ class InceptionResNetV2(nn.Module):
         b2 = _cbr(x, train, 64, name="m5b_b2a", dtype=self.dtype)
         b2 = _cbr(b2, train, 96, (3, 3), dtype=self.dtype, name="m5b_b2b")
         b2 = _cbr(b2, train, 96, (3, 3), dtype=self.dtype, name="m5b_b2c")
-        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        # count_include_pad=False = Keras AveragePooling2D edge semantics
+        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                         count_include_pad=False)
         b3 = _cbr(b3, train, 64, name="m5b_b3", dtype=self.dtype)
         x = jnp.concatenate([b0, b1, b2, b3], axis=-1)  # 320
 

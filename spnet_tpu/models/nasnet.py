@@ -11,9 +11,13 @@ stem 32.
 Cell wiring follows the published Fig. 4 (five add-blocks of separable
 convs / pools over the current input h and the previous cell's input p,
 with a 1x1 'adjust' projection or factorized reduction to align p).
-Divergence from Keras: strided ops use SAME padding instead of Keras'
-asymmetric correct_pad (one-pixel spatial shift; parameter-identical).
-BatchNorm: momentum 0.9997, eps 1e-3, like Keras.
+Numerically exact twin of keras.applications.NASNetMobile (pinned by
+`tests/test_models.py::test_keras_nasnet_import_parity` via imported
+weights): strided sepconv SAME padding equals Keras' correct_pad for
+odd kernels; reduction-cell pools replicate Keras' explicit zero-pad +
+VALID pooling (zeros are real cells — `_pad_for_pool`); stride-1
+average pools exclude padding from the divisor like Keras 'same'
+AveragePooling2D.  BatchNorm: momentum 0.9997, eps 1e-3, like Keras.
 """
 
 from __future__ import annotations
@@ -95,11 +99,35 @@ class Adjust(nn.Module):
 
 
 def _avg3(x, s=1):
-    return nn.avg_pool(x, (3, 3), strides=(s, s), padding="SAME")
+    # count_include_pad=False: Keras AveragePooling2D divides edge
+    # windows by the number of REAL cells, not the window size
+    return nn.avg_pool(x, (3, 3), strides=(s, s), padding="SAME",
+                       count_include_pad=False)
 
 
 def _max3(x, s=1):
     return nn.max_pool(x, (3, 3), strides=(s, s), padding="SAME")
+
+
+def _pad_for_pool(x):
+    """Keras reduction cells ZERO-PAD h (ZeroPadding2D(correct_pad)) and
+    pool VALID — the pad cells are REAL zeros: included in average
+    counts and compared by max (not -inf as SAME padding would be)."""
+    pads = []
+    for d in (1, 2):
+        before = 1 if x.shape[d] % 2 else 0  # correct_pad, kernel 3
+        pads.append((before, 1))
+    return jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+
+
+def _avg3_padded(x):
+    return nn.avg_pool(_pad_for_pool(x), (3, 3), strides=(2, 2),
+                       padding="VALID")
+
+
+def _max3_padded(x):
+    return nn.max_pool(_pad_for_pool(x), (3, 3), strides=(2, 2),
+                       padding="VALID")
 
 
 class NormalCell(nn.Module):
@@ -134,12 +162,13 @@ class ReductionCell(nn.Module):
 
         x1 = (SepBlock(self.filters, 5, 2, name="left1")(h, train)
               + SepBlock(self.filters, 7, 2, name="right1")(p, train))
-        x2 = (_max3(h, 2)
+        x2 = (_max3_padded(h)
               + SepBlock(self.filters, 7, 2, name="right2")(p, train))
-        x3 = (_avg3(h, 2)
+        x3 = (_avg3_padded(h)
               + SepBlock(self.filters, 5, 2, name="right3")(p, train))
         x4 = x2 + _avg3(x1)
-        x5 = SepBlock(self.filters, 3, name="left5")(x1, train) + _max3(h, 2)
+        x5 = (SepBlock(self.filters, 3, name="left5")(x1, train)
+              + _max3_padded(h))
         return jnp.concatenate([x2, x3, x4, x5], axis=-1), ip
 
 

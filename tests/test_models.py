@@ -398,6 +398,67 @@ def test_keras_xception_import_parity(tmp_path):
     )
 
 
+def _keras_output_parity(yk, yf):
+    """Shared closeness criterion for random-weight keras-vs-flax output
+    comparison: worst element relative to the output's own scale, plus
+    whole-tensor cosine (deep random BN/relu stacks shrink magnitudes,
+    making elementwise relative error meaningless)."""
+    assert yk.shape == yf.shape, (yk.shape, yf.shape)
+    assert np.abs(yk - yf).max() / (np.abs(yk).max() + 1e-30) < 0.05
+    cos = float((yk * yf).sum()
+                / (np.linalg.norm(yk) * np.linalg.norm(yf) + 1e-30))
+    assert cos > 0.999, cos
+
+
+@pytest.mark.slow
+def test_keras_irv2_import_parity():
+    """InceptionResNetV2 pretrained-weight import: the creation-order
+    zip of Keras auto-named conv/BN pairs (io/keras_import.py
+    `_irv2_convbn_paths`) must reproduce Keras outputs through all 43
+    residual blocks (random weights stand in for the imagenet file)."""
+    keras = pytest.importorskip("keras")
+    import jax.numpy as jnp
+
+    from spnet_tpu.io.keras_import import keras_irv2_to_flax
+    from spnet_tpu.models.inception_resnet_v2 import InceptionResNetV2
+
+    km = keras.applications.InceptionResNetV2(
+        include_top=False, weights=None, input_shape=(96, 96, 3))
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    yk = np.asarray(km(x, training=False))
+
+    bb_p, bb_s = keras_irv2_to_flax(km)
+    fm = InceptionResNetV2(dtype=jnp.float32)
+    yf = np.asarray(fm.apply({"params": bb_p, "batch_stats": bb_s},
+                             jnp.asarray(x), train=False))
+    _keras_output_parity(yk, yf)
+
+
+@pytest.mark.slow
+def test_keras_nasnet_import_parity():
+    """NASNetMobile pretrained-weight import: the per-cell name
+    translation (io/keras_import.py `_nasnet_cell_ids`) must reproduce
+    Keras outputs through all 12 normal + 4 reduction cells."""
+    keras = pytest.importorskip("keras")
+    import jax.numpy as jnp
+
+    from spnet_tpu.io.keras_import import keras_nasnet_to_flax
+    from spnet_tpu.models.nasnet import NASNetMobile
+
+    km = keras.applications.NASNetMobile(
+        include_top=False, weights=None, input_shape=(96, 96, 3))
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    yk = np.asarray(km(x, training=False))
+
+    bb_p, bb_s = keras_nasnet_to_flax(km)
+    fm = NASNetMobile(dtype=jnp.float32)
+    yf = np.asarray(fm.apply({"params": bb_p, "batch_stats": bb_s},
+                             jnp.asarray(x), train=False))
+    _keras_output_parity(yk, yf)
+
+
 def test_f32_config_computes_f32_throughout():
     """Round-4 regression guard: Xception's _DownBlock/_MiddleBlock were
     instantiated without dtype and silently computed bfloat16 even when

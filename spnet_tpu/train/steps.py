@@ -14,6 +14,7 @@ penalty over all 'kernel' leaves added to the loss.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -305,8 +306,15 @@ def make_train_step(
 
             params_h0 = (_cast_tree(state.params)
                          if carry_dtype is not None else None)
+            # SPNET_SCAN_UNROLL=k replicates the scan body k times per
+            # loop iteration: the round-3 profile showed the 44 ms step
+            # is distributed dispatch/DMA latency across ~2,000 small
+            # ops, and unrolling gives XLA a cross-STEP scheduling
+            # window to overlap them (at k x program size).  Numerics
+            # are identical to unroll=1 (pinned in tests).
+            unroll = int(os.environ.get("SPNET_SCAN_UNROLL", "1"))
             (state, _), losses = jax.lax.scan(
-                body, (state, params_h0), scan_xs)
+                body, (state, params_h0), scan_xs, unroll=unroll)
             return state, losses
 
         if geo_augment:

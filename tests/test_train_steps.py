@@ -252,3 +252,41 @@ def test_epoch_scan_no_pregather_matches_pregather():
     for a, c in zip(jax.tree_util.tree_leaves(params_pg),
                     jax.tree_util.tree_leaves(params_ng)):
         np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-7)
+
+
+def test_epoch_scan_unroll_matches_rolled(monkeypatch):
+    """SPNET_SCAN_UNROLL=k replicates the scan body k times per loop
+    iteration (a cross-step scheduling window for XLA; train/steps.py).
+    The math is unchanged — only fusion/scheduling differ, so with f32
+    compute the trajectory must match the rolled scan to reassociation
+    ULPs, including a steps count that does not divide k (lax.scan
+    handles the remainder)."""
+    model = SPNet(num_outputs=576, backbone="MobileNetTiny",
+                  dtype=jnp.float32)
+    sched = onecycle_schedule(1e-3, total_steps=100)
+    g = GridSpec()
+    rng = np.random.default_rng(0)
+    n, b, steps = 8, 2, 5
+    x_all = jnp.asarray(
+        rng.integers(0, 256, (n, 64, 64, 1)).astype(np.uint8))
+    y_all = jnp.asarray(normalize(
+        np.tile(g.defaults.reshape(-1), (n, 1)), g).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (steps, b)).astype(np.int32))
+
+    def run(unroll):
+        monkeypatch.setenv("SPNET_SCAN_UNROLL", str(unroll))
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((b, 64, 64, 1)), sched)
+        step = make_train_step(model, LossWeights(), "same",
+                               l2_reg=1e-4, augment=True,
+                               indexed="epoch")
+        state, losses = step(state, x_all, y_all, idx, jax.random.key(1))
+        return np.asarray(losses), jax.tree_util.tree_map(
+            np.asarray, state.params)
+
+    losses_1, params_1 = run(1)
+    losses_2, params_2 = run(2)
+    np.testing.assert_allclose(losses_2, losses_1, rtol=1e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(params_1),
+                    jax.tree_util.tree_leaves(params_2)):
+        np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-8)

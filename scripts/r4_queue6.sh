@@ -1,0 +1,101 @@
+#!/bin/bash
+# Round-4 TPU queue, part 6: consolidated remainder after the 20:50
+# relay outage killed the mixed resume and hung the dataset-D step
+# (queue4 stopped).  First waits for the relay to come back (probe
+# loop), then runs every remaining step, cheapest-highest-value first
+# so a late recovery still lands the short items.  Touch
+# /tmp/stop_queue6 to stop between steps.
+cd /root/repo
+
+probe_ok() {
+  rm -f /tmp/probe6.log
+  setsid bash -c 'echo $$ > /tmp/probe6.pid; exec python -u -c "
+import time, jax, jax.numpy as jnp
+f = jax.jit(lambda x: (x @ x).sum())
+v = float(f(jnp.ones((256, 256))))
+print(\"TPU PROBE OK\", v, flush=True)
+" > /tmp/probe6.log 2>&1' &
+  for i in $(seq 1 60); do       # up to 5 min
+    sleep 5
+    grep -q "TPU PROBE OK" /tmp/probe6.log 2>/dev/null && return 0
+  done
+  kill "$(cat /tmp/probe6.pid)" 2>/dev/null
+  sleep 90   # let the device claim release
+  return 1
+}
+
+echo "QUEUE6 waiting for relay ($(date +%H:%M:%S))"
+until probe_ok; do
+  [ -f /tmp/stop_queue6 ] && echo "QUEUE6 STOPPED while waiting" && exit 0
+  echo "  relay still down ($(date +%H:%M:%S))"
+  sleep 120
+done
+echo "QUEUE6 relay is back ($(date +%H:%M:%S))"
+
+step() {
+  [ -f /tmp/stop_queue6 ] && echo "QUEUE6 STOPPED before: $1" && exit 0
+  echo "QUEUE6 STEP: $1 ($(date +%H:%M:%S))"
+}
+
+step "TTA evals of round-4 checkpoints (cheap; 384 TTA may cross 96.5)"
+python -u scripts/eval_tta.py logs/r4_384_ckpt synth > /tmp/r4_tta_384.log 2>&1
+python -u scripts/eval_tta.py logs/r4_331f32_ckpt synth > /tmp/r4_tta_331.log 2>&1
+python -u scripts/eval_tta.py logs/r4_refgen_ckpt refgen > /tmp/r4_tta_refgen.log 2>&1
+
+step "mixed-precision recipe RESUME from ep60 (f32 stem+head, bf16 backbone)"
+SPNET_CKPT=logs/r4_mixed_ckpt SPNET_LOGDIR=logs/r4_mixed \
+  SPNET_BACKBONE_DTYPE=bfloat16 \
+  python -u scripts/dataset_a_run.py 100 16 4e-5 40960 float32 331 \
+  >> /tmp/r4_mixed.log 2>&1
+
+step "dataset-D-shaped small-data"
+python -u scripts/dataset_d_run.py 1280 12 > /tmp/r4_datasetd.log 2>&1
+
+step "scan-unroll A/B on the production bench"
+for u in 1 2 4; do
+  [ -f /tmp/stop_queue6 ] && echo "QUEUE6 STOPPED at unroll:$u" && exit 0
+  echo "--- unroll=$u ---" >> /tmp/r4_unroll_ab.log
+  SPNET_SCAN_UNROLL=$u python -u bench.py 2>&1 | tail -1 \
+    >> /tmp/r4_unroll_ab.log
+done
+
+step "precision retry: 331 f32 + HIGH (bf16x3) 100ep"
+SPNET_CKPT=logs/r4_prec_ckpt SPNET_LOGDIR=logs/r4_prec \
+  SPNET_MATMUL_PRECISION=high \
+  python -u scripts/dataset_a_run.py 100 16 4e-5 40960 float32 331 \
+  > /tmp/r4_prec2.log 2>&1
+
+step "backbone sweep 25ep b=32"
+for bb in MobileNet DarkNet19 InceptionResNetV2 NASNetMobile; do
+  [ -f /tmp/stop_queue6 ] && echo "QUEUE6 STOPPED at sweep:$bb" && exit 0
+  SPNET_LOGDIR=logs/r4_sweep_$bb \
+    python -u scripts/dataset_a_run.py 25 32 1e-4 40960 bfloat16 331 $bb \
+    > /tmp/r4_sweep_$bb.log 2>&1
+done
+
+step "ring-width breakdown of the 384 checkpoint"
+python -u scripts/eval_breakdown.py logs/r4_384_ckpt > /tmp/r4_breakdown_384.log 2>&1
+
+step "native 512x384 'big' f32 150ep"
+PREC=$(python - <<'EOF'
+import json
+try:
+    line = [l for l in open("/tmp/r4_prec2.log")
+            if l.startswith("DATASET_A_RESULT")][-1]
+    acc = json.loads(line.split(None, 1)[1])["last10_ring_acc"]
+    # default-precision full-f32 331 plateau: 95.45 (last-10, r4)
+    print("high" if acc is not None and acc >= 95.70 else "")
+except Exception:
+    print("")
+EOF
+)
+echo "  big-run precision: '$PREC'"
+SPNET_CKPT=logs/r4_big_ckpt SPNET_LOGDIR=logs/r4_big \
+  SPNET_MATMUL_PRECISION="$PREC" \
+  python -u scripts/dataset_a_run.py 150 16 4e-5 40960 float32 0 \
+  > /tmp/r4_big.log 2>&1
+
+step "TTA eval of the big checkpoint"
+python -u scripts/eval_tta.py logs/r4_big_ckpt synth > /tmp/r4_tta_big.log 2>&1
+
+echo "QUEUE6 DONE ($(date +%H:%M:%S))" > /tmp/r4_queue6.done

@@ -42,9 +42,18 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="compute dtype")
+    p.add_argument("--backbone_dtype", default="",
+                   choices=["", "bfloat16", "float32"],
+                   help="override the BACKBONE's compute dtype (mixed "
+                        "precision: --dtype float32 --backbone_dtype "
+                        "bfloat16 keeps the stem/head/BN in f32 while "
+                        "the backbone rides the MXU in bf16); empty = "
+                        "same as --dtype")
     p.add_argument("--pretrained", default="",
                    help="path to Keras pretrained backbone weights "
-                        "(.h5/.keras, MobileNet); empty = from scratch")
+                        "(.h5/.keras; MobileNet, Xception, "
+                        "InceptionResNetV2 or NASNetMobile); empty = "
+                        "from scratch")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone activations (trade "
                         "recompute for HBM; for big batches / 'big' mode)")
@@ -59,6 +68,7 @@ def config_from_args(args, grid_tuple=(6, 6, 2)) -> ExperimentConfig:
             input_size=getattr(args, "input_size", 331),
             loss_type=getattr(args, "loss_type", "same"),
             compute_dtype=getattr(args, "dtype", "bfloat16"),
+            backbone_dtype=getattr(args, "backbone_dtype", ""),
             pretrained=getattr(args, "pretrained", ""),
             remat=getattr(args, "remat", False),
         ),

@@ -197,6 +197,10 @@ class ModelConfig:
     backbone_dtype: str = ""
     l2_reg: float = 1e-4  # reference `models.py:47`
     selective_sigmoid: bool = False  # reference model_type 'ss'
+    #: Compound head: separate sigmoid existence branch interleaved with
+    #: the linear branch (reference model_type 'compound',
+    #: `models.py:379-386`).
+    compound_head: bool = False
     #: Stem layout: True = channel-planes (B,C,H,W) shifted-MAD stem,
     #: False = NHWC nn.Conv stem.  Numerical twins (same param tree,
     #: outputs to 1e-5); the default is whichever measured faster on the

@@ -382,6 +382,7 @@ def build_model(cfg: ModelConfig, num_outputs: int = 576,
         backbone=cfg.backbone,
         dropout_rate=cfg.dropout_rate,
         selective_sigmoid=cfg.selective_sigmoid,
+        compound_head=getattr(cfg, "compound_head", False),
         width_mult=width_mult,
         dtype=jnp.dtype(cfg.compute_dtype),
         backbone_dtype=(jnp.dtype(cfg.backbone_dtype)

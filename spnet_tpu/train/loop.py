@@ -111,13 +111,8 @@ def train_network(
     if mc.pretrained:
         # Keras pretrained backbone (reference MobileNet imagenet path,
         # `models.py:349-355`); a checkpoint restore below still wins.
-        if mc.backbone not in ("MobileNet", "MobileNetTiny", "Xception"):
-            raise ValueError(
-                f"pretrained Keras import is implemented for MobileNet "
-                f"and Xception, not backbone={mc.backbone!r} (the "
-                f"reference's Xception headline runs train from scratch: "
-                f"models.py:359 passes weights=None)"
-            )
+        # load_keras_backbone itself validates the backbone (all four
+        # keras.applications backbones are importable since round 4).
         from spnet_tpu.io.keras_import import (
             apply_backbone_weights,
             load_keras_backbone,

@@ -120,6 +120,24 @@ def test_compound_head():
     assert {"sigmoid_output", "dense_output"} <= top
 
 
+def test_compound_head_reachable_from_config():
+    """ModelConfig.compound_head (reference model_type 'compound') must
+    plumb through build_model — previously only the SPNet module had the
+    flag, so the config/CLI surface could not select it."""
+    from spnet_tpu.config import ModelConfig
+    from spnet_tpu.models.spnet import build_model
+
+    model = build_model(
+        ModelConfig(backbone="MobileNetTiny", input_size=64,
+                    compound_head=True, compute_dtype="float32"),
+        num_outputs=128)
+    assert model.compound_head
+    x = jnp.ones((2, 64, 64, 1), jnp.float32)
+    y, variables, _ = _init_and_apply(model, x)
+    noobj = np.asarray(y).reshape(2, -1, 8)[..., 6]
+    assert ((noobj >= 0) & (noobj <= 1)).all()
+
+
 def test_darknet_backbone():
     model = SPNet(num_outputs=576, backbone="DarkNet19", dtype=jnp.float32)
     x = jnp.zeros((1, 128, 128, 1), jnp.float32)

@@ -1,10 +1,11 @@
 #!/bin/bash
-# Round-4 TPU queue, part 6: consolidated remainder after the 20:50
-# relay outage killed the mixed resume and hung the dataset-D step
-# (queue4 stopped).  First waits for the relay to come back (probe
-# loop), then runs every remaining step, cheapest-highest-value first
-# so a late recovery still lands the short items.  Touch
-# /tmp/stop_queue6 to stop between steps.
+# Round-4 TPU queue, part 6 (v2): consolidated remainder after the
+# 20:50 relay outage killed the mixed resume and hung the dataset-D
+# step.  Waits for the relay (probe loop), then runs every remaining
+# step, cheapest-highest-value first.  Long training runs get a retry
+# wrapper: checkpoints + auto-resume mean a mid-run relay crash costs
+# <=10 epochs, so the right response is to relaunch, not to move on.
+# Touch /tmp/stop_queue6 to stop between steps.
 cd /root/repo
 
 probe_ok() {
@@ -24,18 +25,39 @@ print(\"TPU PROBE OK\", v, flush=True)
   return 1
 }
 
-echo "QUEUE6 waiting for relay ($(date +%H:%M:%S))"
-until probe_ok; do
-  [ -f /tmp/stop_queue6 ] && echo "QUEUE6 STOPPED while waiting" && exit 0
-  echo "  relay still down ($(date +%H:%M:%S))"
-  sleep 120
-done
-echo "QUEUE6 relay is back ($(date +%H:%M:%S))"
+wait_for_relay() {
+  until probe_ok; do
+    [ -f /tmp/stop_queue6 ] && echo "QUEUE6 STOPPED while waiting" && exit 0
+    echo "  relay still down ($(date +%H:%M:%S))"
+    sleep 120
+  done
+}
 
 step() {
   [ -f /tmp/stop_queue6 ] && echo "QUEUE6 STOPPED before: $1" && exit 0
   echo "QUEUE6 STEP: $1 ($(date +%H:%M:%S))"
 }
+
+# run_training <result_marker> <logfile> <cmd...>: relaunch (auto-resume
+# from the run's checkpoint dir) until the result line appears, up to 4
+# attempts, re-probing the relay between attempts.
+run_training() {
+  local marker="$1" log="$2"; shift 2
+  for attempt in 1 2 3 4; do
+    [ -f /tmp/stop_queue6 ] && echo "QUEUE6 STOPPED (training retry)" && return 1
+    "$@" >> "$log" 2>&1
+    grep -q "$marker" "$log" && return 0
+    echo "  attempt $attempt died without $marker ($(date +%H:%M:%S)); re-probing relay"
+    sleep 90
+    wait_for_relay
+  done
+  echo "  GAVE UP after 4 attempts: $*"
+  return 1
+}
+
+echo "QUEUE6 waiting for relay ($(date +%H:%M:%S))"
+wait_for_relay
+echo "QUEUE6 relay is back ($(date +%H:%M:%S))"
 
 step "TTA evals of round-4 checkpoints (cheap; 384 TTA may cross 96.5)"
 python -u scripts/eval_tta.py logs/r4_384_ckpt synth > /tmp/r4_tta_384.log 2>&1
@@ -43,13 +65,14 @@ python -u scripts/eval_tta.py logs/r4_331f32_ckpt synth > /tmp/r4_tta_331.log 2>
 python -u scripts/eval_tta.py logs/r4_refgen_ckpt refgen > /tmp/r4_tta_refgen.log 2>&1
 
 step "mixed-precision recipe RESUME from ep60 (f32 stem+head, bf16 backbone)"
-SPNET_CKPT=logs/r4_mixed_ckpt SPNET_LOGDIR=logs/r4_mixed \
+run_training DATASET_A_RESULT /tmp/r4_mixed.log \
+  env SPNET_CKPT=logs/r4_mixed_ckpt SPNET_LOGDIR=logs/r4_mixed \
   SPNET_BACKBONE_DTYPE=bfloat16 \
-  python -u scripts/dataset_a_run.py 100 16 4e-5 40960 float32 331 \
-  >> /tmp/r4_mixed.log 2>&1
+  python -u scripts/dataset_a_run.py 100 16 4e-5 40960 float32 331
 
 step "dataset-D-shaped small-data"
-python -u scripts/dataset_d_run.py 1280 12 > /tmp/r4_datasetd.log 2>&1
+run_training DATASET_D_RESULT /tmp/r4_datasetd.log \
+  python -u scripts/dataset_d_run.py 1280 12
 
 step "scan-unroll A/B on the production bench"
 for u in 1 2 4; do
@@ -60,10 +83,10 @@ for u in 1 2 4; do
 done
 
 step "precision retry: 331 f32 + HIGH (bf16x3) 100ep"
-SPNET_CKPT=logs/r4_prec_ckpt SPNET_LOGDIR=logs/r4_prec \
+run_training DATASET_A_RESULT /tmp/r4_prec2.log \
+  env SPNET_CKPT=logs/r4_prec_ckpt SPNET_LOGDIR=logs/r4_prec \
   SPNET_MATMUL_PRECISION=high \
-  python -u scripts/dataset_a_run.py 100 16 4e-5 40960 float32 331 \
-  > /tmp/r4_prec2.log 2>&1
+  python -u scripts/dataset_a_run.py 100 16 4e-5 40960 float32 331
 
 step "backbone sweep 25ep b=32"
 for bb in MobileNet DarkNet19 InceptionResNetV2 NASNetMobile; do
@@ -90,10 +113,10 @@ except Exception:
 EOF
 )
 echo "  big-run precision: '$PREC'"
-SPNET_CKPT=logs/r4_big_ckpt SPNET_LOGDIR=logs/r4_big \
+run_training DATASET_A_RESULT /tmp/r4_big.log \
+  env SPNET_CKPT=logs/r4_big_ckpt SPNET_LOGDIR=logs/r4_big \
   SPNET_MATMUL_PRECISION="$PREC" \
-  python -u scripts/dataset_a_run.py 150 16 4e-5 40960 float32 0 \
-  > /tmp/r4_big.log 2>&1
+  python -u scripts/dataset_a_run.py 150 16 4e-5 40960 float32 0
 
 step "TTA eval of the big checkpoint"
 python -u scripts/eval_tta.py logs/r4_big_ckpt synth > /tmp/r4_tta_big.log 2>&1

@@ -18,11 +18,20 @@ LOGS = {
     "big native 512x384 f32 150ep": "/tmp/r4_big.log",
 }
 TTA = {
-    "384 ckpt (synth val)": "/tmp/r4_tta_384.log",
-    "331 true-f32 ckpt (synth val)": "/tmp/r4_tta_331.log",
-    "refgen ckpt (refgen val)": "/tmp/r4_tta_refgen.log",
     "big ckpt (synth val)": "/tmp/r4_tta_big.log",
+    "mixed ckpt (synth val)": "/tmp/r4_tta_mixed.log",
 }
+
+
+def _flat(r):
+    """DATASET_A_RESULT nests the eval metrics under final_eval and the
+    last-epoch training stats under last; flatten for the tables."""
+    if r is None:
+        return None
+    out = dict(r.get("final_eval") or {})
+    out["last10_ring_acc"] = r.get("last10_ring_acc")
+    out["img_per_sec"] = (r.get("last") or {}).get("img_per_sec", 0)
+    return out
 
 
 def last_json(path, marker):
@@ -42,7 +51,7 @@ def main():
     print("| run | ring-acc | last-10 | class-acc | mAP | pix err | img/s |")
     print("|---|---|---|---|---|---|---|")
     for name, path in LOGS.items():
-        r = last_json(path, "DATASET_A_RESULT")
+        r = _flat(last_json(path, "DATASET_A_RESULT"))
         if r is None:
             print(f"| {name} | *pending* ||||||")
             continue
@@ -86,7 +95,7 @@ def main():
     print("|---|---|---|---|---|---|")
     for path in sorted(glob.glob("/tmp/r4_sweep_*.log")):
         bb = os.path.basename(path)[len("r4_sweep_"):-len(".log")]
-        r = last_json(path, "DATASET_A_RESULT")
+        r = _flat(last_json(path, "DATASET_A_RESULT"))
         if r is None:
             print(f"| {bb} | *pending* |||||")
             continue

@@ -268,6 +268,12 @@ class TrainConfig:
     #: image summaries) into <log_dir>/tb — reference `use_tb`
     #: (`callbacks.py:88-90,239-248`); default off like the reference.
     use_tb: bool = False
+    #: Adam update semantics: "optax" (optax.adam, eps on corrected
+    #: sqrt(v_hat)) or "keras" (tf.keras Adam: eps on UNcorrected
+    #: sqrt(v), bias correction folded into lr_t — the reference's
+    #: actual optimizer, see train/optim.py).  None -> SPNET_ADAM env
+    #: var, default "optax".
+    adam_variant: str | None = None
     save_every: int = 5  # epochs between checkpoints (`callbacks.py:37`)
     # 1-cycle shape parameters (reference `callbacks.py:366`)
     onecycle_pct_start: float = 0.3

@@ -107,7 +107,8 @@ def train_network(
     sample = jnp.zeros((tc.batch_size,) + train_ds.x.shape[1:],
                        jnp.float32)
     state = create_train_state(model, rng, sample, sched,
-                               freeze_fac=tc.freeze_fac)
+                               freeze_fac=tc.freeze_fac,
+                               adam_variant=tc.adam_variant)
     if mc.pretrained:
         # Keras pretrained backbone (reference MobileNet imagenet path,
         # `models.py:349-355`); a checkpoint restore below still wins.
@@ -280,7 +281,7 @@ def train_network(
             # backbone is unfrozen immediately if the phase already ended
             frozen_left = max(tc.frozen_epochs - start_epoch, 0)
             if frozen_left == 0:
-                state = unfreeze(state, model)
+                state = unfreeze(state, model, adam_variant=tc.adam_variant)
                 if mesh is not None:
                     state = replicate_state(mesh, state)
 
@@ -366,7 +367,7 @@ def train_network(
             if frozen_left == 0:
                 if verbose:
                     print("    unfreezing backbone")
-                state = unfreeze(state, model)
+                state = unfreeze(state, model, adam_variant=tc.adam_variant)
                 if mesh is not None:
                     state = replicate_state(mesh, state)
 

@@ -54,11 +54,25 @@ def make_optimizer(
     params,
     layer_order: list[str],
     freeze_fac: float = 0.0,
+    adam_variant: str | None = None,
 ) -> optax.GradientTransformation:
     # eps matches Keras's Adam default (K.epsilon() = 1e-7, the optimizer
     # the reference compiles with at models.py:494-502); optax's default
-    # is 1e-8.
-    adam = optax.adam(learning_rate=schedule, eps=1e-7)
+    # is 1e-8.  adam_variant="keras" additionally reproduces Keras's
+    # UPDATE semantics (eps applied to uncorrected sqrt(v), bias
+    # correction folded into lr_t — see train/optim.py); the two differ
+    # most during warmup, when v is tiny.  SPNET_ADAM overrides for
+    # queued experiment runs.
+    import os
+
+    if adam_variant is None:
+        adam_variant = os.environ.get("SPNET_ADAM", "optax")
+    if adam_variant == "keras":
+        from spnet_tpu.train.optim import keras_adam
+
+        adam = keras_adam(learning_rate=schedule, eps=1e-7)
+    else:
+        adam = optax.adam(learning_rate=schedule, eps=1e-7)
     if freeze_fac <= 0.0:
         return adam
     labels = backbone_freeze_labels(params, layer_order, freeze_fac)
@@ -73,13 +87,14 @@ def create_train_state(
     sample_input,
     schedule: Callable,
     freeze_fac: float = 0.0,
+    adam_variant: str | None = None,
 ) -> TrainState:
     variables = model.init({"params": rng, "dropout": rng},
                            sample_input, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(schedule, params, model.backbone_layer_order(),
-                        freeze_fac)
+                        freeze_fac, adam_variant=adam_variant)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -90,9 +105,11 @@ def create_train_state(
     )
 
 
-def unfreeze(state: TrainState, model: SPNet) -> TrainState:
+def unfreeze(state: TrainState, model: SPNet,
+             adam_variant: str | None = None) -> TrainState:
     """Phase switch: all params trainable, fresh optimizer state, same
     weights/stats/step (reference `unfreeze_model`)."""
     tx = make_optimizer(state.schedule, state.params,
-                        model.backbone_layer_order(), freeze_fac=0.0)
+                        model.backbone_layer_order(), freeze_fac=0.0,
+                        adam_variant=adam_variant)
     return state.replace(tx=tx, opt_state=tx.init(state.params))

@@ -52,6 +52,15 @@ def main(batch_size: int = 128, steps_per_epoch: int = 160,
     fused_env = os.environ.get("SPNET_BENCH_FUSED", "")
     if fused_env:
         over["stem_fused"] = fused_env == "1"
+    # SPNET_BENCH_DTYPE / SPNET_BENCH_BACKBONE_DTYPE: measure the mixed
+    # -precision recipe (e.g. f32 stem+head, bf16 backbone) at the
+    # production batch size
+    dtype_env = os.environ.get("SPNET_BENCH_DTYPE", "")
+    if dtype_env:
+        over["compute_dtype"] = dtype_env
+    bb_dtype_env = os.environ.get("SPNET_BENCH_BACKBONE_DTYPE", "")
+    if bb_dtype_env:
+        over["backbone_dtype"] = bb_dtype_env
     mc = ModelConfig(backbone="Xception", input_size=331, **over)
     model = build_model(mc, num_outputs=grid.num_outputs)
 

@@ -89,12 +89,26 @@ def main():
     t_gen = time.time() - t_gen0
 
     # ---------- offline 42x inflation (the reference's workflow) ------
-    t_inf0 = time.time()
+    # The inflation is pure host+CPU work, so it can run concurrently
+    # with TPU jobs via scripts/dataset_d_inflate.py, which writes a
+    # completion marker carrying its measured wall-clock.  A TrainAug
+    # dir WITHOUT the marker is a partial run — redo it (re-running
+    # augment_preproc on a partially inflated dir would inflate the
+    # augmented files again).
     inflated = f"{workdir}/TrainAug"
-    if not os.path.exists(inflated):
+    marker = f"{workdir}/inflate_done.json"
+    if os.path.exists(marker):
+        t_inflate = json.load(open(marker))["wall_s"]
+        print(f"  (reusing completed inflation: {t_inflate:.0f}s)",
+              flush=True)
+    else:
+        t_inf0 = time.time()
+        if os.path.exists(inflated):
+            shutil.rmtree(inflated)
         shutil.copytree(f"{workdir}/Train", inflated)
         augment_preproc.main(["-d", inflated + "/", "-n", str(n_augs)])
-    t_inflate = time.time() - t_inf0
+        t_inflate = time.time() - t_inf0
+        json.dump({"wall_s": round(t_inflate, 1)}, open(marker, "w"))
 
     val_ds = build_dataset(f"{workdir}/Val", grid, batch_size=batch,
                            shuffle=False, input_size=331)

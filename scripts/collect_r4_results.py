@@ -112,6 +112,17 @@ def main():
     else:
         print("*pending*")
 
+    print("\n### XLA scheduling-flag sweep")
+    s = last_json("/tmp/r4_xla_sweep.log", "XLA_SWEEP_RESULT")
+    if s is None:
+        print("*pending*")
+    else:
+        print("| flag set | img/s |")
+        print("|---|---|")
+        for name, v in s.items():
+            val = v.get("value") if isinstance(v, dict) else v
+            print(f"| {name} | {val} |")
+
 
 if __name__ == "__main__":
     main()

@@ -85,7 +85,7 @@ def main():
     dtype = sys.argv[5] if len(sys.argv) > 5 else "bfloat16"
     input_size = int(sys.argv[6]) if len(sys.argv) > 6 else 331
     backbone = sys.argv[7] if len(sys.argv) > 7 else "Xception"
-    n_val = 4992
+    n_val = int(os.environ.get("SPNET_NVAL", "4992"))
 
     cfg = ExperimentConfig(
         grid=GridSpec(),
@@ -93,10 +93,18 @@ def main():
                           compute_dtype=dtype,
                           backbone_dtype=os.environ.get(
                               "SPNET_BACKBONE_DTYPE", ""),
-                          remat=(input_size == 0
-                                 or os.environ.get("SPNET_REMAT") == "1")),
+                          # remat defaults on for native-resolution runs;
+                          # SPNET_REMAT=0/1 overrides either way (the
+                          # round-4 big-run crash bisect needs remat-off
+                          # at input_size=0)
+                          remat=(os.environ.get("SPNET_REMAT") == "1"
+                                 or (input_size == 0
+                                     and os.environ.get("SPNET_REMAT")
+                                     != "0"))),
         train=TrainConfig(batch_size=batch, epochs=epochs, lr_max=lr_max,
-                          augment=True, blur_prob=0.0, save_every=10,
+                          augment=os.environ.get("SPNET_AUGMENT", "1")
+                          != "0",
+                          blur_prob=0.0, save_every=10,
                           seed=0),
     )
     t0 = time.time()

@@ -15,11 +15,14 @@ import os
 LOGS = {
     "mixed (f32 stem+head, bf16 backbone)": "/tmp/r4_mixed.log",
     "precision HIGH (bf16x3) 331 f32": "/tmp/r4_prec2.log",
-    "big native 512x384 f32 150ep": "/tmp/r4_big.log",
+    "big native 512x384 f32 150ep (queue10, crashed)": "/tmp/r4_big.log",
+    "long 150ep accuracy run (queue11)": "/tmp/r4_long.log",
+    "full-scale 2ep confirm (queue11)": "/tmp/r4_long_confirm.log",
 }
 TTA = {
     "big ckpt (synth val)": "/tmp/r4_tta_big.log",
     "mixed ckpt (synth val)": "/tmp/r4_tta_mixed.log",
+    "long-run ckpt (synth val)": "/tmp/r4_tta_long.log",
 }
 
 
@@ -103,6 +106,18 @@ def main():
               f"{r.get('class_acc'):.2f} | {r.get('mAP'):.4f} | "
               f"{r.get('mean_pix_err'):.2f} | "
               f"{r.get('img_per_sec', 0):.0f} |")
+
+    print("\n### Big-run crash bisect (queue11)")
+    if os.path.exists("/tmp/r4_bigdebug.verdict"):
+        print(f"verdict: `{open('/tmp/r4_bigdebug.verdict').read().strip()}`")
+        main_log = "/tmp/r4_bigdebug_main.log"
+        if os.path.exists(main_log):
+            print("```")
+            print("\n".join(ln for ln in open(main_log).read().splitlines()
+                            if ln.startswith(("BIGDEBUG", "  ->"))))
+            print("```")
+    else:
+        print("*pending*")
 
     print("\n### Scan-unroll bench A/B")
     if os.path.exists("/tmp/r4_unroll_ab.log"):

@@ -203,6 +203,8 @@ def train_network(
             (lambda a: jax.device_put(a, batch_sharding(mesh)))
             if mesh is not None else jax.device_put
         )
+        # (chunks are budgeted at ~1/3 of HBM headroom by plan_chunks, so
+        # each chunk transfer stays below the ~7 GB single-put wall)
         n_dev = mesh.size if mesh is not None else 1
         budget = int(12 * 1024**3 - val_ds.x.nbytes / n_dev)
         item_bytes = train_ds.x.nbytes // max(n_train, 1)
@@ -213,10 +215,12 @@ def train_network(
         if geo:
             arrays = arrays + (train_ds.rows, train_ds.row_mask)
         streamer = ChunkStreamer(arrays, chunk_len, n_chunks, put=put)
+        from spnet_tpu.parallel.mesh import chunked_device_put
+
         x_val_dev = (
             put(jnp.asarray(val_ds.x))
             if mesh is not None and val_ds.x.shape[0] % mesh.size == 0
-            else jax.device_put(jnp.asarray(val_ds.x))
+            else chunked_device_put(val_ds.x)
         )
         if verbose:
             print(f"    chunk-streamed dataset: "
@@ -225,24 +229,29 @@ def train_network(
                   f"({chunk_len * item_bytes / 1e9:.2f} GB each, "
                   f"1-chunk-ahead prefetch)")
     elif device_data:
-        from spnet_tpu.parallel.mesh import batch_sharding
+        from spnet_tpu.parallel.mesh import batch_sharding, chunked_device_put
 
-        put = (
-            (lambda a: jax.device_put(a, batch_sharding(mesh)))
-            if mesh is not None else jax.device_put
-        )
-        x_all = put(jnp.asarray(train_ds.x))
-        y_all = put(jnp.asarray(train_ds.y))
+        # transfers above ~7 GB crash this environment's TPU worker
+        # (round-4 big-run bisect), so single-device puts go up in
+        # 2 GiB leading-axis slices into a preallocated buffer; mesh
+        # puts are already split per-device by the sharding.  The raw
+        # numpy arrays are passed straight through — a jnp.asarray here
+        # would itself perform the monolithic transfer.
+        put = (lambda a: chunked_device_put(
+            a, sharding=batch_sharding(mesh) if mesh is not None
+            else None))
+        x_all = put(train_ds.x)
+        y_all = put(train_ds.y)
         if geo:
-            rows_all = put(jnp.asarray(train_ds.rows))
-            mask_all = put(jnp.asarray(train_ds.row_mask))
+            rows_all = put(train_ds.rows)
+            mask_all = put(train_ds.row_mask)
         # val set sharded over the mesh too (it previously landed whole
         # on device 0, capping val-set scale and idling the mesh during
         # the per-epoch sweep)
         x_val_dev = (
-            put(jnp.asarray(val_ds.x))
-            if mesh is not None and val_ds.x.shape[0] % mesh.size == 0
-            else jax.device_put(jnp.asarray(val_ds.x))
+            put(val_ds.x)
+            if mesh is None or val_ds.x.shape[0] % mesh.size == 0
+            else chunked_device_put(val_ds.x)
         )
         if verbose:
             print(f"    device-resident dataset: "

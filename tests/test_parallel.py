@@ -119,3 +119,28 @@ def test_mesh_epoch_scan_matches_single_device():
     np.testing.assert_allclose(tr_mesh[0], tr_single[0], rtol=1e-3)
     rel = np.abs(tr_mesh - tr_single) / np.abs(tr_single)
     assert rel.max() < 5e-2, f"trajectories diverged: {rel}"
+
+
+def test_chunked_device_put_matches_plain(monkeypatch):
+    """chunked_device_put must be bit-identical to a plain device_put —
+    the slicing (forced tiny via SPNET_PUT_CHUNK_BYTES) covers the >7 GB
+    transfer wall found by the round-4 big-run bisect, including an
+    uneven tail slice and non-float dtypes."""
+    from spnet_tpu.parallel.mesh import chunked_device_put
+
+    monkeypatch.setenv("SPNET_PUT_CHUNK_BYTES", "4096")
+    rng = np.random.default_rng(7)
+    for arr in (
+        rng.integers(0, 255, (37, 17, 13, 1)).astype(np.uint8),  # odd tail
+        rng.normal(size=(64, 72)).astype(np.float32),
+        rng.normal(size=(3,)).astype(np.float32),  # below one chunk
+    ):
+        out = chunked_device_put(arr)
+        np.testing.assert_array_equal(np.asarray(out), arr)
+
+    # sharded path (delegates to plain put, one transfer per device)
+    mesh = make_mesh()
+    arr = rng.normal(size=(32, 9)).astype(np.float32)
+    out = chunked_device_put(arr, sharding=batch_sharding(mesh))
+    np.testing.assert_array_equal(np.asarray(out), arr)
+    assert len(out.sharding.device_set) == mesh.size

@@ -107,6 +107,15 @@ def main():
               f"{r.get('mean_pix_err'):.2f} | "
               f"{r.get('img_per_sec', 0):.0f} |")
 
+    print("\n### Chunked-put probe (queue12)")
+    if os.path.exists("/tmp/r4_bigput.log"):
+        hits = [ln.strip() for ln in open("/tmp/r4_bigput.log")
+                if ln.startswith("BIGPUT_")]
+        print(f"`{hits[-1]}`" if hits
+              else "*probe ran but printed no BIGPUT_ line (crash?)*")
+    else:
+        print("*pending*")
+
     print("\n### Big-run crash bisect (queue11)")
     if os.path.exists("/tmp/r4_bigdebug.verdict"):
         print(f"verdict: `{open('/tmp/r4_bigdebug.verdict').read().strip()}`")

@@ -27,6 +27,13 @@ SETS = {
     "async_streams": "--xla_tpu_enable_async_collective_fusion=true "
                      "--xla_tpu_enable_latency_hiding_scheduler=true",
     "flash_lowering": "--xla_tpu_enable_flash_attention=false",
+    # bigger scoped VMEM lets Mosaic/XLA form larger fusions (fewer,
+    # bigger HBM<->VMEM DMAs — exactly the small-op latency profile);
+    # unknown/oversized values just fail that one subprocess.
+    "vmem_32m": "--xla_tpu_scoped_vmem_limit_kib=32768",
+    "vmem_64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
+    "vmem_lhs": "--xla_tpu_scoped_vmem_limit_kib=65536 "
+                "--xla_tpu_enable_latency_hiding_scheduler=true",
 }
 
 

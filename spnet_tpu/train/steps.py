@@ -26,6 +26,43 @@ from spnet_tpu.ops.losses import loss_components, spnet_loss_pallas
 from spnet_tpu.train.state import TrainState
 
 
+def _jit_epoch(fn, pin_positions=(1, 2)):
+    """jit the whole-epoch program (donating the TrainState carry).
+
+    With SPNET_PIN_X_LAYOUT=1 the resident-dataset operands' layouts are
+    pinned on first call to their as-delivered device Formats, which
+    forbids the runtime from inserting a whole-array relayout copy at
+    program binding.  That copy is the surviving theory for the round-4
+    full-scale native-resolution crash: 2 x 8.15 GB transient > 16 GB
+    HBM kernel-faults the worker, while 6.04 GB resident (the 384 run)
+    doubles to 12 GB and survives (`scripts/probe_biglayout.py` is the
+    isolating probe).  Off by default until proven on hardware.
+    """
+    if os.environ.get("SPNET_PIN_X_LAYOUT") != "1":
+        return jax.jit(fn, donate_argnums=(0,))
+    box = {}
+
+    def wrapper(*args):
+        if "fn" not in box:
+            from jax.experimental.layout import Format
+
+            shardings: list = [None] * len(args)
+            ok = True
+            for p in pin_positions:
+                a = args[p]
+                if isinstance(a, jax.Array) and hasattr(a, "format"):
+                    shardings[p] = Format(a.format.layout, a.sharding)
+                else:
+                    ok = False
+            box["fn"] = (
+                jax.jit(fn, donate_argnums=(0,),
+                        in_shardings=tuple(shardings))
+                if ok else jax.jit(fn, donate_argnums=(0,)))
+        return box["fn"](*args)
+
+    return wrapper
+
+
 def _prep_x(x):
     """Datasets may be stored as uint8 (memory/bandwidth: see
     data/dataset.py); normalize on device with the Inception scaling."""
@@ -324,12 +361,12 @@ def make_train_step(
                 return _epoch_core(state, x_all, y_all, idx_mat, rng,
                                    rows_all, mask_all)
 
-            return jax.jit(train_epoch_geo, donate_argnums=(0,))
+            return _jit_epoch(train_epoch_geo)
 
         def train_epoch(state, x_all, y_all, idx_mat, rng):
             return _epoch_core(state, x_all, y_all, idx_mat, rng)
 
-        return jax.jit(train_epoch, donate_argnums=(0,))
+        return _jit_epoch(train_epoch)
 
     if indexed:
 

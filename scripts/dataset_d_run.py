@@ -46,9 +46,12 @@ def run_one(cfg, train_ds, val_ds, tag):
     from spnet_tpu.train.loop import train_network
 
     t0 = time.time()
+    # device_data=None: let the HBM budget pick resident vs chunked —
+    # forcing True here OOMed the 42x-inflated arm when frames were
+    # still float32 (24.5 GB of arguments on a 16 GB chip)
     state, model, history = train_network(
         cfg, train_ds, val_ds, log_dir=f"logs/dataset_d_{tag}",
-        ckpt_dir=None, render_overlays=False, device_data=True,
+        ckpt_dir=None, render_overlays=False, device_data=None,
         verbose=1,
     )
     wall = time.time() - t0

@@ -57,6 +57,50 @@ def main():
                                  log_dir="logs/tta_eval/plain/",
                                  num_draw=0, verbose=1)
     out["plain"] = res_plain
+
+    # ---- per-view diagnostics: how good is each flipped view ALONE?
+    # (re-encoded into the truth cell convention, so slot-aligned
+    # metrics are fair — see eval/tta.py reencode_view).  If a single
+    # flipped view scores far below the direct view, the model is not
+    # flip-equivariant and no merge can help; if each view is ~direct
+    # quality, the ensemble should beat it.
+    if os.environ.get("SPNET_TTA_PER_VIEW", "1") == "1":
+        import jax
+
+        from spnet_tpu.config import IND_NOOBJ, VARS_PER_PRED
+        from spnet_tpu.eval.metrics import calc_errors
+        from spnet_tpu.eval.tta import (
+            flip_images, flipback_grid, reencode_view)
+        from spnet_tpu.grid import denormalize
+        from spnet_tpu.train.loop import predict_in_batches
+        from spnet_tpu.train.steps import make_predict_step
+
+        predict_fn = make_predict_step(model)
+        x_dev = jax.device_put(np.asarray(val_ds.x))
+        yt = denormalize(val_ds.y, cfg.grid)
+        decode = None
+        if cfg.model.loss_type != "same":
+            decode = lambda z: 1.0 / (1.0 + np.exp(-z))  # noqa: E731
+        out["per_view"] = {}
+        for mode in [m for m in modes.split(",") if m]:
+            y_v, _ = predict_in_batches(
+                predict_fn, state.params, state.batch_stats,
+                flip_images(x_dev, mode), 256, verbose=0)
+            if decode is not None:
+                y_v[:, IND_NOOBJ::VARS_PER_PRED] = decode(
+                    y_v[:, IND_NOOBJ::VARS_PER_PRED])
+            yp_v = reencode_view(
+                flipback_grid(denormalize(y_v, cfg.grid), mode, cfg.grid),
+                cfg.grid)
+            st = calc_errors(yp_v, yt)
+            out["per_view"][mode] = {
+                "ring_acc": st.ring_acc, "class_acc": st.class_acc,
+                "mean_pix_err": st.mean_pix_err,
+                "fp": st.false_obj_pos, "fn": st.false_obj_neg}
+            print(f"  view {mode!r}: ring_acc {st.ring_acc:.2f}%  "
+                  f"class_acc {st.class_acc:.2f}%  pix_err "
+                  f"{st.mean_pix_err:.2f}  FP {st.false_obj_pos}  "
+                  f"FN {st.false_obj_neg}", flush=True)
     res_tta = evaluate_network(cfg, state, model, val_ds,
                                log_dir="logs/tta_eval/tta/",
                                num_draw=0, tta=modes, verbose=1)

@@ -29,7 +29,7 @@ from spnet_tpu.grid import batch_ellipses_to_grid, normalize
 
 @dataclasses.dataclass
 class Dataset:
-    x: np.ndarray  # (N, H, W, 1) float32, inception-scaled
+    x: np.ndarray  # (N, H, W, 1) uint8 raw pixels OR float32 inception-scaled
     y: np.ndarray  # (N, num_outputs) float32, normalized
     file_list: list[str]
     grid: GridSpec
@@ -86,31 +86,68 @@ def load_image(path: str, size: int | None, grayscale: bool = True,
     return arr[..., None]
 
 
+def quantize_u8(x: np.ndarray) -> np.ndarray:
+    """Inception-scaled float32 [-1, 1] -> uint8 pixel values.
+
+    Inverse of the in-step `_prep_x` normalization (train/steps.py);
+    quantization error is < 1/255 of the dynamic range — the same
+    contract the device-resident synthetic path has always used
+    (`synthetic_dataset` clips+casts its rendered frames to uint8)."""
+    return np.clip(np.rint((x * 0.5 + 0.5) * 255.0), 0, 255).astype(
+        np.uint8)
+
+
 def build_x(
     img_files: list[str], size: int | None = 331, verbose: bool = True,
-    method: str = "lanczos3",
+    method: str = "lanczos3", uint8: bool = False,
 ) -> np.ndarray:
-    """Load a list of images into (N, size, size, 1) float32.
+    """Load a list of images into (N, size, size, 1).
 
-    Uses the native C++ decode pipeline when available, else PIL."""
-    try:
-        from spnet_tpu.data.loader import native_build_x
-
-        out = native_build_x(img_files, size, method)
-        if out is not None:
-            return out
-    except Exception:
-        pass
+    float32 inception-scaled by default; `uint8=True` stores raw pixel
+    bytes instead (4x less host RAM / HBM / tunnel traffic — the train
+    and predict steps normalize uint8 on device, `train/steps.py
+    _prep_x`).  Uses the native C++ decode pipeline when available,
+    else PIL.  The uint8 native path converts in bounded chunks so peak
+    host memory stays ~chunk-sized, not dataset-sized."""
     n = len(img_files)
     if n == 0:
         raise ValueError("no images to load")
+    try:
+        from spnet_tpu.data.loader import native_build_x
+
+        if uint8:
+            chunk = 4096
+            out = None
+            for lo in range(0, n, chunk):
+                part = native_build_x(img_files[lo:lo + chunk], size,
+                                      method)
+                if part is None:
+                    out = None
+                    break
+                if out is None:
+                    out = np.zeros((n,) + part.shape[1:], np.uint8)
+                out[lo:lo + part.shape[0]] = quantize_u8(part)
+                if verbose and n > 2000:
+                    print(f"      loading image {lo + part.shape[0]}/{n}",
+                          end="\r")
+            if out is not None:
+                if verbose and n > 2000:
+                    print()
+                return out
+        else:
+            out = native_build_x(img_files, size, method)
+            if out is not None:
+                return out
+    except Exception:
+        pass
     first = load_image(img_files[0], size, method=method)
-    x = np.zeros((n,) + first.shape, np.float32)
-    x[0] = first
+    x = np.zeros((n,) + first.shape, np.uint8 if uint8 else np.float32)
+    x[0] = quantize_u8(first) if uint8 else first
     for i in range(1, n):
         if verbose and i % 2000 == 0:
             print(f"      loading image {i}/{n}", end="\r")
-        x[i] = load_image(img_files[i], size, method=method)
+        arr = load_image(img_files[i], size, method=method)
+        x[i] = quantize_u8(arr) if uint8 else arr
     if verbose and n > 2000:
         print()
     return x
@@ -151,8 +188,15 @@ def build_dataset(
     on_overflow: str = "raise",
     shard_index: int = 0,
     num_shards: int = 1,
+    uint8: bool = True,
 ) -> Dataset:
     """Load a Train/Val/Test directory into a Dataset.
+
+    uint8 (default): store frames as raw pixel bytes, normalized on
+    device in-step (`train/steps.py _prep_x`) — 4x less host RAM, HBM
+    and host->device traffic than float32, the same contract as the
+    device-resident synthetic path.  Pass uint8=False for the float32
+    inception-scaled layout (sub-1/255 quantization differences).
 
     shard_index/num_shards: multi-host input sharding — every process
     computes the SAME deterministic global shuffle (seeded), then takes
@@ -183,14 +227,15 @@ def build_dataset(
         )
     img_files, meta_files = img_files[:total], meta_files[:total]
 
-    cache_path = os.path.join(path, f".x_cache_{input_size}.npz")
+    suffix = "_u8" if uint8 else ""
+    cache_path = os.path.join(path, f".x_cache_{input_size}{suffix}.npz")
     y = build_y(meta_files, grid, img_files, on_overflow=on_overflow)
     if cache and not shuffle and os.path.exists(cache_path):
         x = np.load(cache_path)["x"]
         if x.shape[0] != total:
-            x = build_x(img_files, input_size)
+            x = build_x(img_files, input_size, uint8=uint8)
     else:
-        x = build_x(img_files, input_size)
+        x = build_x(img_files, input_size, uint8=uint8)
         if cache and not shuffle:
             np.savez(cache_path, x=x)
     from spnet_tpu.data.csvio import read_raw_meta

@@ -17,13 +17,31 @@ frame:
     cos2θ) unchanged (θ+180° ≡ θ for an ellipse).
 
 The flipped-back views are merged into the DIRECT view's cell/slot
-structure (which is the convention the truth grid uses): per cell, the
-two flipped slots are paired with the two direct slots by minimal
-total center distance (slot order within a cell is a learned, flip
--dependent convention), geometry/rings are averaged weighted by each
-view's existence probability (1 - noobj, clipped), and the noobj slot
-is plain-averaged across views (the existence ensemble).  Empty slots
-carry defaults with noobj = 1, so their geometry weight is ~0.
+structure (which is the convention the truth grid uses) at the OBJECT
+level, not the slot level.  Slot-level merging is unsound here: the
+grid's active region ([cx_min, cx_min + nx*xbinsize] etc., config.py)
+is NOT symmetric under cx -> W - cx, so the flipped view's cell
+partition, mapped back into the direct frame, is a ~6 px-shifted
+partition of the image — an object within that shift of a cell
+boundary legitimately sits in a DIFFERENT cell than the index
+reversal predicts (~8-15 % of objects per view), and any per-cell
+pairing then votes "absent" in two cells at once (measured: FP rate
+2.6 % -> 7.4 % on a 96.2 %-ring-acc checkpoint).  Instead:
+
+  * decode every view to ellipse records (slots with noobj < 0.5) in
+    absolute direct-frame coordinates — which cell a record came from
+    no longer matters;
+  * match each DIRECT detection to at most one record per view by
+    nearest center within `match_radius`; geometry/rings are averaged
+    weighted by each view's existence probability (1 - noobj), and
+    existence becomes the ensemble mean over ALL views (a view that
+    saw nothing votes 0) — all IN PLACE in the direct slot, so the
+    direct view's learned cell/slot convention (the one the truth grid
+    uses) is preserved;
+  * leftover flipped-view records are clustered among themselves; a
+    cluster whose ensemble existence clears 0.5 is a detection the
+    direct view missed and is written into a free slot of the cell
+    containing its center.
 """
 
 from __future__ import annotations
@@ -77,74 +95,119 @@ def flipback_grid(yp_denorm: np.ndarray, mode: str, grid) -> np.ndarray:
     return np.ascontiguousarray(g)
 
 
-def _pair_slots(direct: np.ndarray, view: np.ndarray) -> np.ndarray:
-    """Per-cell slot pairing of one flipped-back view against the direct
-    view, by minimal total center distance.  direct/view:
-    (B, nx, ny, S, 8) with S slots.  Returns the view with its slot axis
-    permuted to align with direct's slots.  S == 2 uses the closed-form
-    two-permutation test; S == 1 is identity; larger S falls back to
-    greedy nearest-center assignment."""
-    s = direct.shape[3]
-    if s == 1:
-        return view
-    if s == 2:
-        d_c = direct[..., [IND_CX, IND_CY]]
-        v_c = view[..., [IND_CX, IND_CY]]
-        # cost of identity pairing vs swapped pairing
-        ident = (np.linalg.norm(d_c[..., 0, :] - v_c[..., 0, :], axis=-1)
-                 + np.linalg.norm(d_c[..., 1, :] - v_c[..., 1, :], axis=-1))
-        swap = (np.linalg.norm(d_c[..., 0, :] - v_c[..., 1, :], axis=-1)
-                + np.linalg.norm(d_c[..., 1, :] - v_c[..., 0, :], axis=-1))
-        use_swap = (swap < ident)[..., None, None]
-        return np.where(use_swap, view[..., ::-1, :], view)
-    # general S: greedy per-cell assignment (rarely used; S is 2 in
-    # every reference configuration)
-    out = view.copy()
-    b, nx, ny = direct.shape[:3]
-    for ib in range(b):
-        for ix in range(nx):
-            for iy in range(ny):
-                d_c = direct[ib, ix, iy, :, :2]
-                v_c = view[ib, ix, iy, :, :2]
-                cost = np.linalg.norm(
-                    d_c[:, None, :] - v_c[None, :, :], axis=-1)
-                taken = np.zeros(s, bool)
-                perm = np.zeros(s, np.int64)
-                for k in np.argsort(cost.min(axis=1)):
-                    j = np.argmin(np.where(taken, np.inf, cost[k]))
-                    perm[k] = j
-                    taken[j] = True
-                out[ib, ix, iy] = view[ib, ix, iy, perm]
-    return out
+_GEOM = (IND_CX, IND_CY, IND_A, IND_B, IND_ANGLE1, IND_ANGLE2, IND_RINGS)
+
+
+def _decode_view(v_img: np.ndarray) -> np.ndarray:
+    """One image's (nx, ny, S, 8) denormalized grid -> (K, 8) records of
+    the slots with an object (noobj < 0.5)."""
+    flat = v_img.reshape(-1, v_img.shape[-1])
+    return flat[flat[:, IND_NOOBJ] < 0.5]
 
 
 def merge_views(direct_denorm: np.ndarray, views_denorm: list[np.ndarray],
-                grid) -> np.ndarray:
-    """Merge flipped-back views into the direct prediction.  All inputs
-    DENORMALIZED; direct: (B, num_outputs) or 5-D; views: 5-D tensors
-    from `flipback_grid`.  Returns (B, num_outputs) denormalized."""
+                grid, match_radius: float = 20.0) -> np.ndarray:
+    """Object-level ensemble of flipped-back views into the direct
+    prediction (see module docstring for why slot-level is unsound).
+
+    All inputs DENORMALIZED; direct: (B, num_outputs) or 5-D; views:
+    5-D tensors from `flipback_grid`.  Returns (B, num_outputs)
+    denormalized, preserving the direct view's cell/slot structure for
+    every direct detection."""
     d = np.array(direct_denorm, dtype=np.float32).reshape(
         (-1,) + grid.pred_shape)
-    geom = [IND_CX, IND_CY, IND_A, IND_B, IND_ANGLE1, IND_ANGLE2,
-            IND_RINGS]
-    p_d = np.clip(1.0 - d[..., IND_NOOBJ], 0.0, 1.0)[..., None]
-    wsum = p_d.copy()
-    gsum = p_d * d[..., geom]
-    nsum = d[..., IND_NOOBJ].copy()
-    for v in views_denorm:
-        v = _pair_slots(d, v)
-        p_v = np.clip(1.0 - v[..., IND_NOOBJ], 0.0, 1.0)[..., None]
-        wsum = wsum + p_v
-        gsum = gsum + p_v * v[..., geom]
-        nsum = nsum + v[..., IND_NOOBJ]
-    out = d.copy()
-    # geometry: existence-weighted mean; all-views-empty slots keep the
-    # direct values (weights ~0 -> guard keeps d)
-    safe = wsum > 1e-6
-    out[..., geom] = np.where(
-        safe, gsum / np.where(safe, wsum, 1.0), d[..., geom])
-    out[..., IND_NOOBJ] = nsum / (1 + len(views_denorm))
-    return out.reshape(len(out), grid.num_outputs)
+    nv = 1 + len(views_denorm)
+    geom = list(_GEOM)
+    nx, ny, s = grid.pred_shape[:3]
+    for ib in range(d.shape[0]):
+        img = d[ib]
+        flat = img.reshape(-1, img.shape[-1])
+        det_idx = np.flatnonzero(flat[:, IND_NOOBJ] < 0.5)
+        # per-view unconsumed decoded records
+        view_recs = [_decode_view(v[ib]) for v in views_denorm]
+        used = [np.zeros(len(r), bool) for r in view_recs]
+        for k in det_idx:
+            rec = flat[k]
+            p = np.clip(1.0 - rec[IND_NOOBJ], 0.0, 1.0)
+            wsum, gsum, psum = p, p * rec[geom], p
+            for vi, recs in enumerate(view_recs):
+                if len(recs) == 0:
+                    continue
+                dist = np.hypot(recs[:, IND_CX] - rec[IND_CX],
+                                recs[:, IND_CY] - rec[IND_CY])
+                dist = np.where(used[vi], np.inf, dist)
+                j = int(np.argmin(dist))
+                if dist[j] <= match_radius:
+                    used[vi][j] = True
+                    pv = np.clip(1.0 - recs[j, IND_NOOBJ], 0.0, 1.0)
+                    wsum += pv
+                    gsum = gsum + pv * recs[j, geom]
+                    psum += pv
+            if wsum > 1e-6:
+                flat[k, geom] = gsum / wsum
+            flat[k, IND_NOOBJ] = 1.0 - psum / nv
+        # leftover view records: cluster among themselves; strong
+        # clusters are detections the direct view missed
+        rest = [r[~u] for r, u in zip(view_recs, used)]
+        pool = (np.concatenate(rest, axis=0)
+                if rest else np.zeros((0, flat.shape[1]), np.float32))
+        taken = np.zeros(len(pool), bool)
+        order = np.argsort(pool[:, IND_NOOBJ]) if len(pool) else []
+        for k in order:
+            if taken[k]:
+                continue
+            taken[k] = True
+            members = [pool[k]]
+            for j in range(len(pool)):
+                if taken[j]:
+                    continue
+                if np.hypot(pool[j, IND_CX] - pool[k, IND_CX],
+                            pool[j, IND_CY] - pool[k, IND_CY]) \
+                        <= match_radius:
+                    taken[j] = True
+                    members.append(pool[j])
+            ps = np.clip(1.0 - np.array([m[IND_NOOBJ] for m in members]),
+                         0.0, 1.0)
+            p_ens = float(ps.sum()) / nv
+            if p_ens < 0.5:
+                continue
+            g = (ps[:, None] * np.stack(members)).sum(0) / max(
+                float(ps.sum()), 1e-6)
+            ix = min(max(int((g[IND_CX] - grid.cx_min) / grid.xbinsize),
+                         0), nx - 1)
+            iy = min(max(int((g[IND_CY] - grid.cy_min) / grid.ybinsize),
+                         0), ny - 1)
+            free = np.flatnonzero(img[ix, iy, :, IND_NOOBJ] >= 0.5)
+            if len(free) == 0:
+                continue
+            img[ix, iy, free[0], geom] = g[geom]
+            img[ix, iy, free[0], IND_NOOBJ] = 1.0 - p_ens
+    return d.reshape(len(d), grid.num_outputs)
+
+
+def reencode_view(view_denorm: np.ndarray, grid) -> np.ndarray:
+    """Re-encode one flipped-back view into the truth grid convention.
+
+    The flipped view's cell partition mapped back to the direct frame is
+    a shifted partition (module docstring), so slot-aligned metrics on
+    the raw flipped-back grid unfairly count boundary-band objects as
+    FN+FP pairs.  Decoding to records and re-assigning by the truth rule
+    (cell containing the center, slots in (cx, cy) order) makes a single
+    view's quality directly comparable to the direct view's.  Returns
+    (B, num_outputs) denormalized."""
+    from spnet_tpu.grid import batch_ellipses_to_grid
+
+    v = np.asarray(view_denorm, np.float32).reshape(
+        (-1,) + grid.pred_shape)
+    record_lists = []
+    for ib in range(v.shape[0]):
+        recs = _decode_view(v[ib])
+        order = np.lexsort((recs[:, IND_CY], recs[:, IND_CX]))
+        record_lists.append(recs[order])
+    out = batch_ellipses_to_grid(record_lists, grid, on_overflow="drop")
+    # batch_ellipses_to_grid leaves empty slots at grid.defaults
+    # (noobj=1); occupied slots keep their decoded noobj (<0.5)
+    return out
 
 
 def predict_tta(predict_fn, params, batch_stats, x_eval, infer_bs: int,

@@ -91,6 +91,45 @@ def test_slot_matching_two_per_cell():
     np.testing.assert_allclose(merged, direct, rtol=1e-5, atol=2e-3)
 
 
+@pytest.mark.parametrize("mode", TTA_MODES)
+def test_flipback_boundary_cells(mode):
+    """Objects within a few px of a cell boundary: the active region is
+    NOT mirror-symmetric (cx in [40, 466] inside a 512-wide image), so
+    the flipped view's encode legitimately lands in a different cell
+    than the index reversal predicts.  The object-level merge must
+    still reproduce every direct detection in its direct slot (this is
+    the exact failure that produced FP 2.6 % -> 7.4 % on a real
+    checkpoint before the round-4 merge rewrite)."""
+    rng = np.random.default_rng(hash(mode) % 2**31)
+    scenes = []
+    for _ in range(12):
+        n = int(rng.integers(1, 4))
+        # centers 1-5 px past a cell boundary — inside the asymmetry band
+        ks = rng.integers(1, GRID.nx, n)
+        cxs = GRID.cx_min + GRID.xbinsize * ks + rng.uniform(1, 5, n)
+        kys = rng.integers(1, GRID.ny, n)
+        cys = GRID.cy_min + GRID.ybinsize * kys + rng.uniform(1, 5, n)
+        theta = rng.uniform(0, np.pi, n)
+        recs = np.stack(
+            [cxs, cys, rng.uniform(30, 60, n), rng.uniform(15, 28, n),
+             np.cos(2 * theta), np.sin(2 * theta), np.zeros(n),
+             rng.integers(1, 11, n).astype(np.float64)], axis=1)
+        scenes.append(recs.astype(np.float32))
+    direct = batch_ellipses_to_grid(scenes, GRID)
+    flipped = batch_ellipses_to_grid(
+        [_flip_records(s, mode) for s in scenes], GRID)
+    view = flipback_grid(flipped, mode, GRID)
+    merged = merge_views(direct, [view], GRID)
+    # every direct detection survives in place with identical values
+    d5 = direct.reshape((-1,) + GRID.pred_shape)
+    m5 = np.asarray(merged).reshape((-1,) + GRID.pred_shape)
+    det = d5[..., IND_NOOBJ] < 0.5
+    assert det.any()
+    np.testing.assert_allclose(m5[det], d5[det], rtol=1e-4, atol=2e-3)
+    # and no spurious detections appear anywhere
+    np.testing.assert_array_equal(m5[..., IND_NOOBJ] < 0.5, det)
+
+
 def test_merge_averages_noise():
     """With p=1 on both views, merged geometry is the plain mean."""
     rng = np.random.default_rng(7)

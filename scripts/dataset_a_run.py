@@ -57,6 +57,25 @@ def _cached_synth(n, cfg, seed, batch=None, blur=None,
                                   for i in range(z["x"].shape[0])],
                        grid=cfg.grid,
                        rows=z["rows"], row_mask=z["mask"])
+    # frame i is deterministic in (seed, i) alone (scene sampler keyed
+    # per frame index), so the first n frames of a LARGER same-recipe
+    # cache ARE the n-frame dataset — slice instead of regenerating
+    # (saves ~14 min/46k frames of 1-core host time; no new file, the
+    # slice is cheap to redo)
+    import glob as _glob
+    import re as _re
+
+    pat = f"logs/synth_cache/n*_s{seed}_i{size}{recipe}_v2.npz"
+    for cand in sorted(_glob.glob(pat)):
+        m = _re.match(r".*/n(\d+)_s", cand)
+        if m and int(m.group(1)) > n:
+            z = np.load(cand, allow_pickle=False)
+            print(f"  (cache slice: first {n} of {cand})")
+            return Dataset(x=z["x"][:n], y=z["y"][:n],
+                           file_list=[f"synthetic://{seed}/{i}"
+                                      for i in range(n)],
+                           grid=cfg.grid,
+                           rows=z["rows"][:n], row_mask=z["mask"][:n])
     ds = synthetic_dataset(n, cfg.grid, seed=seed, input_size=size,
                            batch_size=batch, blur=blur,
                            resize_method=resize_method)

@@ -15,7 +15,11 @@ ring-acc ~95.4 % (same as our generator) breaks the attribution and
 points back at training.
 
 Usage: python scripts/refgen_run.py [epochs] [batch] [lr_max] [dtype]
-Expects shards in logs/refgen_cache/ (run refgen_dataset.py first).
+                                    [input_size]
+Expects shards in logs/refgen_cache/ at the requested input_size (run
+refgen_dataset.py first).  SPNET_BACKBONE_DTYPE selects the §2e mixed
+split (f32 stem+head, bf16 backbone); SPNET_CKPT / SPNET_LOGDIR as in
+dataset_a_run.py.
 """
 
 import glob
@@ -97,18 +101,26 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     lr_max = float(sys.argv[3]) if len(sys.argv) > 3 else 4e-5
     dtype = sys.argv[4] if len(sys.argv) > 4 else "float32"
+    input_size = int(sys.argv[5]) if len(sys.argv) > 5 else 331
     n_train, n_val = 40960, 4992
 
     cfg = ExperimentConfig(
         grid=GridSpec(),
-        model=ModelConfig(backbone="Xception", input_size=331,
-                          compute_dtype=dtype),
+        model=ModelConfig(backbone="Xception", input_size=input_size,
+                          compute_dtype=dtype,
+                          backbone_dtype=os.environ.get(
+                              "SPNET_BACKBONE_DTYPE", ""),
+                          remat=(os.environ.get("SPNET_REMAT") == "1"
+                                 or (input_size == 0
+                                     and os.environ.get("SPNET_REMAT")
+                                     != "0"))),
         train=TrainConfig(batch_size=batch, epochs=epochs, lr_max=lr_max,
                           augment=True, blur_prob=0.0, save_every=10,
                           seed=0),
     )
     t0 = time.time()
-    train_ds, val_ds = load_refgen(n_train, n_val, cfg.grid)
+    train_ds, val_ds = load_refgen(n_train, n_val, cfg.grid,
+                                   size=input_size)
     print(f"refgen data ready in {time.time() - t0:.1f}s  "
           f"train {train_ds.x.shape} val {val_ds.x.shape}", flush=True)
 

@@ -214,3 +214,19 @@ def test_blur_prob_knob():
     np.testing.assert_array_equal(np.asarray(same), np.asarray(x))
     blurred = random_blur(x, jax.random.key(0), prob=1.0)
     assert np.abs(np.asarray(blurred) - np.asarray(x)).mean() > 0.1
+
+
+def test_dataset_prefix_determinism():
+    """A smaller synthetic_dataset is exactly the prefix of a larger
+    same-recipe one (frame i depends only on (seed, i)) — the contract
+    behind scripts/dataset_a_run.py's cache slicing, which serves the
+    first n frames of a larger cached dataset instead of regenerating."""
+    from spnet_tpu.data.dataset import synthetic_dataset
+
+    grid = GridSpec()
+    big = synthetic_dataset(8, grid, seed=11, input_size=64)
+    small = synthetic_dataset(4, grid, seed=11, input_size=64)
+    np.testing.assert_array_equal(big.x[:4], small.x)
+    np.testing.assert_allclose(big.y[:4], small.y)
+    np.testing.assert_array_equal(big.row_mask[:4], small.row_mask)
+    np.testing.assert_array_equal(big.rows[:4], small.rows)

@@ -132,16 +132,25 @@ def main():
     # ---------- on-the-fly geo augmentation (TPU-first) ---------------
     fly_ds = build_dataset(f"{workdir}/Train", grid, batch_size=batch,
                            shuffle=True, seed=0, input_size=331)
-    # equal images-seen: offline saw ep_off * (n_augs+1) * n_train
-    ep_fly = ep_off * (off_ds.x.shape[0] // fly_ds.x.shape[0])
+    # equal images-seen AND equal val cadence: offline saw
+    # ep_off * (n_augs+1) * n_train images with ep_off val sweeps, so
+    # the on-the-fly arm runs ep_off epochs of (n_augs+1) fresh-warped
+    # passes each (epoch_repeats) — one epoch program and one val sweep
+    # per (n_augs+1) passes.  (The first measured variant ran one
+    # 1,280-frame epoch + val sweep per pass: accuracy matched, but 504
+    # val sweeps dominated wall-clock — an unfair protocol handicap.)
+    rep_fly = off_ds.x.shape[0] // fly_ds.x.shape[0]
     cfg_fly = ExperimentConfig(
         grid=grid,
         model=ModelConfig(backbone="Xception", input_size=331),
-        train=TrainConfig(batch_size=batch, epochs=ep_fly, lr_max=lr,
+        train=TrainConfig(batch_size=batch, epochs=ep_off, lr_max=lr,
                           augment=True, blur_prob=0.0, seed=0,
-                          geo_augment=True, save_every=10**9),
+                          geo_augment=True, epoch_repeats=rep_fly,
+                          save_every=10**9),
     )
     r_fly = run_one(cfg_fly, fly_ds, val_ds, "geo_fly")
+    r_fly["imgs_seen"] = ep_off * rep_fly * fly_ds.x.shape[0]
+    r_fly["epoch_repeats"] = rep_fly
     print("ONTHEFLY " + json.dumps(r_fly, default=float), flush=True)
 
     print("DATASET_D_RESULT " + json.dumps(

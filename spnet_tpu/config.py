@@ -264,6 +264,14 @@ class TrainConfig:
     #: with on-device label re-encode) — the TPU-first replacement for
     #: the reference's offline 42x dataset inflation (augment_preproc.py).
     geo_augment: bool = False
+    #: Shuffled passes over the training set per "epoch" (per epoch
+    #: device program / per val sweep).  >1 amortizes the per-epoch val
+    #: sweep + host metrics over R passes — for tiny datasets trained
+    #: many passes (the Dataset-D shape: 1,280 frames x 42 warps,
+    #: `augment_preproc.py:103`), where a per-pass val sweep would
+    #: dominate wall-clock.  Each pass gets a fresh shuffle (and, with
+    #: geo_augment, fresh warps); repeats=1 is the reference protocol.
+    epoch_repeats: int = 1
     #: Emit TensorBoard event files (scalar curves + per-epoch overlay
     #: image summaries) into <log_dir>/tb — reference `use_tb`
     #: (`callbacks.py:88-90,239-248`); default off like the reference.

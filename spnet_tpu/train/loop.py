@@ -97,7 +97,8 @@ def train_network(
 
     model = build_model(mc, num_outputs=grid.num_outputs)
     n_train = train_ds.x.shape[0]
-    steps_per_epoch = n_train // tc.batch_size
+    repeats = max(int(getattr(tc, "epoch_repeats", 1)), 1)
+    steps_per_epoch = (n_train // tc.batch_size) * repeats
     total_steps = steps_per_epoch * tc.epochs
     sched = onecycle_schedule(
         tc.lr_max, total_steps, tc.onecycle_pct_start,
@@ -299,16 +300,25 @@ def train_network(
         if device_data == "chunked":
             from spnet_tpu.train.chunked import run_chunked_epoch
 
-            state, ep_loss, nb = run_chunked_epoch(
-                train_step, state, streamer, tc.batch_size,
-                rng, epoch, tc.seed, geo=geo,
-            )
+            loss_sum, nb = 0.0, 0
+            for r in range(repeats):
+                state, r_loss, r_nb = run_chunked_epoch(
+                    train_step, state, streamer, tc.batch_size,
+                    rng, epoch * repeats + r, tc.seed, geo=geo,
+                )
+                loss_sum += r_loss * r_nb
+                nb += r_nb
+            ep_loss = loss_sum / max(nb, 1)
         elif device_data:
-            # single device program for the whole epoch
-            idx_mat = np.stack(list(
-                batches(n_train, tc.batch_size, shuffle=True,
-                        seed=tc.seed + epoch)
-            )).astype(np.int32)
+            # single device program for the whole epoch (all `repeats`
+            # passes in one scan; pass r's shuffle seed is the seed the
+            # (epoch*repeats + r)'th repeats=1 epoch would use)
+            idx_mat = np.concatenate([
+                np.stack(list(
+                    batches(n_train, tc.batch_size, shuffle=True,
+                            seed=tc.seed + epoch * repeats + r)
+                )) for r in range(repeats)
+            ]).astype(np.int32)
             nb = idx_mat.shape[0]
             if geo:
                 state, losses = train_step(
@@ -328,19 +338,21 @@ def train_network(
                 """Host slices -> device, one batch ahead of compute
                 (device_put is async, so the next transfer overlaps the
                 current step)."""
-                for idx in batches(n_train, tc.batch_size, shuffle=True,
-                                   seed=tc.seed + epoch):
-                    xb = jnp.asarray(train_ds.x[idx])
-                    yb = jnp.asarray(train_ds.y[idx])
-                    extra = ()
-                    if geo:
-                        extra = (jnp.asarray(train_ds.rows[idx]),
-                                 jnp.asarray(train_ds.row_mask[idx]))
-                    if mesh is not None:
-                        sharded = shard_batch(mesh, xb, yb, *extra)
-                        xb, yb, extra = (sharded[0], sharded[1],
-                                         sharded[2:])
-                    yield (xb, yb) + extra
+                for r in range(repeats):
+                    for idx in batches(n_train, tc.batch_size,
+                                       shuffle=True,
+                                       seed=tc.seed + epoch * repeats + r):
+                        xb = jnp.asarray(train_ds.x[idx])
+                        yb = jnp.asarray(train_ds.y[idx])
+                        extra = ()
+                        if geo:
+                            extra = (jnp.asarray(train_ds.rows[idx]),
+                                     jnp.asarray(train_ds.row_mask[idx]))
+                        if mesh is not None:
+                            sharded = shard_batch(mesh, xb, yb, *extra)
+                            xb, yb, extra = (sharded[0], sharded[1],
+                                             sharded[2:])
+                        yield (xb, yb) + extra
 
             import collections
 

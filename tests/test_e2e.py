@@ -505,3 +505,32 @@ def test_chunked_streaming_trains(tmp_path, monkeypatch):
     assert hist[-1]["train_loss"] < hist[0]["train_loss"]
     # every chunk contributes: 64 frames / (8*2) = 4 chunks * 2 steps
     assert hist[-1]["img_per_sec"] > 0
+
+
+def test_epoch_repeats(tmp_path):
+    """TrainConfig.epoch_repeats=R runs R shuffled passes per epoch
+    program / per val sweep (the Dataset-D tiny-set protocol: equal
+    images-seen with 1/R the val-sweep overhead).  Step accounting,
+    history length, and the 1-cycle schedule must all see R*n//b steps
+    per epoch, on both the resident and host-streaming paths."""
+    cfg = ExperimentConfig(
+        grid=GridSpec(),
+        model=ModelConfig(backbone="MobileNetTiny", input_size=64,
+                          compute_dtype="float32"),
+        train=TrainConfig(batch_size=8, epochs=2, lr_max=1e-3,
+                          augment=True, geo_augment=True, seed=0,
+                          epoch_repeats=3),
+    )
+    train_ds = synthetic_dataset(16, cfg.grid, seed=1, input_size=64,
+                                 batch_size=8)
+    val_ds = synthetic_dataset(8, cfg.grid, seed=2, input_size=64)
+    for device_data in (True, False):
+        state, model, hist = train_network(
+            cfg, train_ds, val_ds, log_dir=str(tmp_path / "logs"),
+            ckpt_dir=None, render_overlays=False, verbose=0,
+            device_data=device_data,
+        )
+        # 2 epochs x 3 passes x (16//8) steps
+        assert int(state.step) == 12, (device_data, int(state.step))
+        assert len(hist) == 2
+        assert np.isfinite(hist[-1]["train_loss"])

@@ -51,6 +51,12 @@ def main(argv=None):
                         "flip/rotate/translate with on-device label "
                         "re-encode) — replaces offline augment-preproc "
                         "dataset inflation")
+    p.add_argument("--epoch_repeats", type=int, default=1,
+                   help="shuffled passes over the training set per epoch "
+                        "program / per val sweep (>1 amortizes the "
+                        "per-epoch val sweep for tiny datasets trained "
+                        "many passes, e.g. with --geo_augment in place "
+                        "of offline 42x inflation)")
     p.add_argument("--use_tb", action="store_true",
                    help="emit TensorBoard event files (scalars + overlay "
                         "image summaries) into <logdir>/tb")

@@ -23,6 +23,8 @@ STAGES = [
     ("150 epochs\n(plateau)", 95.40, "r3"),
     ("true full-f32\n(dtype bug fixed)", 95.48, "r4"),
     ("input 384\n(resolution lever)", 96.20, "r4"),
+    ("384 mixed\n150 ep", 96.22, "r4"),
+    ("+ 4-view flip-TTA\n(beats reference)", 96.67, "r4"),
 ]
 REFERENCE = 96.5
 

@@ -66,8 +66,23 @@ def run_one(cfg, train_ds, val_ds, tag):
 
 
 def main():
-    n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 1280
-    ep_off = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    # --arm onthefly [--rep N] reruns just the geo-augment arm (e.g. to
+    # re-measure its wall-clock at matched val cadence) against the
+    # already-recorded offline row; --rep pins epoch_repeats so the
+    # images-seen budget matches that recorded run without rebuilding
+    # the 42x-inflated directory.
+    argv = list(sys.argv[1:])
+    arm, rep_pin = "both", None
+    if "--arm" in argv:
+        i = argv.index("--arm")
+        arm = argv[i + 1]
+        del argv[i:i + 2]
+    if "--rep" in argv:
+        i = argv.index("--rep")
+        rep_pin = int(argv[i + 1])
+        del argv[i:i + 2]
+    n_train = int(argv[0]) if len(argv) > 0 else 1280
+    ep_off = int(argv[1]) if len(argv) > 1 else 12
     n_augs = 42
     n_val = 640
     batch = 16
@@ -100,7 +115,13 @@ def main():
     # augmented files again).
     inflated = f"{workdir}/TrainAug"
     marker = f"{workdir}/inflate_done.json"
-    if os.path.exists(marker):
+    r_off = None
+    if arm == "onthefly":
+        if rep_pin is None:
+            raise SystemExit("--arm onthefly needs --rep N (match the "
+                             "recorded offline run's images-seen)")
+        t_inflate = None
+    elif os.path.exists(marker):
         t_inflate = json.load(open(marker))["wall_s"]
         print(f"  (reusing completed inflation: {t_inflate:.0f}s)",
               flush=True)
@@ -115,19 +136,25 @@ def main():
 
     val_ds = build_dataset(f"{workdir}/Val", grid, batch_size=batch,
                            shuffle=False, input_size=331)
-    off_ds = build_dataset(inflated, grid, batch_size=batch,
-                           shuffle=True, seed=0, input_size=331,
-                           on_overflow="drop")
-    cfg_off = ExperimentConfig(
-        grid=grid,
-        model=ModelConfig(backbone="Xception", input_size=331),
-        train=TrainConfig(batch_size=batch, epochs=ep_off, lr_max=lr,
-                          augment=True, blur_prob=0.0, seed=0,
-                          save_every=10**9),
-    )
-    r_off = run_one(cfg_off, off_ds, val_ds, "offline42x")
-    r_off["inflate_wall_s"] = round(t_inflate, 1)
-    print("OFFLINE " + json.dumps(r_off, default=float), flush=True)
+    if arm != "onthefly":
+        off_ds = build_dataset(inflated, grid, batch_size=batch,
+                               shuffle=True, seed=0, input_size=331,
+                               on_overflow="drop")
+        cfg_off = ExperimentConfig(
+            grid=grid,
+            model=ModelConfig(backbone="Xception", input_size=331),
+            train=TrainConfig(batch_size=batch, epochs=ep_off, lr_max=lr,
+                              augment=True, blur_prob=0.0, seed=0,
+                              save_every=10**9),
+        )
+        r_off = run_one(cfg_off, off_ds, val_ds, "offline42x")
+        r_off["inflate_wall_s"] = round(t_inflate, 1)
+        print("OFFLINE " + json.dumps(r_off, default=float), flush=True)
+        if arm == "offline":
+            print("DATASET_D_RESULT " + json.dumps(
+                {"gen_wall_s": round(t_gen, 1), "offline": r_off},
+                default=float), flush=True)
+            return
 
     # ---------- on-the-fly geo augmentation (TPU-first) ---------------
     fly_ds = build_dataset(f"{workdir}/Train", grid, batch_size=batch,
@@ -139,7 +166,8 @@ def main():
     # per (n_augs+1) passes.  (The first measured variant ran one
     # 1,280-frame epoch + val sweep per pass: accuracy matched, but 504
     # val sweeps dominated wall-clock — an unfair protocol handicap.)
-    rep_fly = off_ds.x.shape[0] // fly_ds.x.shape[0]
+    rep_fly = (rep_pin if rep_pin is not None
+               else off_ds.x.shape[0] // fly_ds.x.shape[0])
     cfg_fly = ExperimentConfig(
         grid=grid,
         model=ModelConfig(backbone="Xception", input_size=331),

@@ -16,8 +16,8 @@
 # Touch /tmp/stop_queue20 to stop between steps.  Deadline-gated: no
 # new step starts that could overrun the morning bench window.
 cd /root/repo
-DEADLINE_EPOCH=$(date -d 'tomorrow 06:15' +%s)
-[ "$(date +%H)" -lt 14 ] && DEADLINE_EPOCH=$(date -d 'today 06:15' +%s)
+DEADLINE_EPOCH=$(date -d 'tomorrow 06:45' +%s)
+[ "$(date +%H)" -lt 14 ] && DEADLINE_EPOCH=$(date -d 'today 06:45' +%s)
 past_deadline() { [ "$(date +%s)" -gt "$DEADLINE_EPOCH" ]; }
 # margin-aware gate: don't START a step whose expected minutes would
 # blow past the deadline (never kill a TPU run mid-flight)
@@ -74,8 +74,10 @@ wait_for_relay
 # ~15 min stage/compile; if the margin is short, fall back to 100 ep
 # (~80 min train) — the §2g TTA margin (+0.45 ring-acc over single
 # sweep) still has beat headroom from a 100-ep checkpoint.
+# reserve the TTA step's ~15 min inside the gate: a 150-ep run that
+# would push TTA past the deadline is worth less than 100 ep + TTA
 EPOCHS=""
-if fits 140; then EPOCHS=150; elif fits 100; then EPOCHS=100; fi
+if fits 155; then EPOCHS=150; elif fits 115; then EPOCHS=100; fi
 if [ ! -f /tmp/stop_queue20 ] && [ -n "$EPOCHS" ]; then
   echo "QUEUE20 STEP: refgen-384 mixed ${EPOCHS}ep ($(date +%H:%M:%S))"
   for attempt in 1 2; do

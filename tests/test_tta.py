@@ -30,6 +30,11 @@ from spnet_tpu.grid import batch_ellipses_to_grid, normalize
 
 GRID = GridSpec()
 
+# Deterministic per-mode RNG seeds.  NEVER derive seeds from hash():
+# Python string hashing is randomized per process (PYTHONHASHSEED), so
+# hash-seeded test data differs every run — the round-4 flake.
+MODE_SEED = {m: 1000 + i for i, m in enumerate(TTA_MODES)}
+
 
 def _flip_records(recs: np.ndarray, mode: str) -> np.ndarray:
     """Ground-truth transform of canonical ellipse records under an
@@ -45,15 +50,22 @@ def _flip_records(recs: np.ndarray, mode: str) -> np.ndarray:
     return out
 
 
+def _distinct_cells(rng, n, nx, ny):
+    """n distinct (kx, ky) cell indices — the grid has 2 slots per
+    cell, so distinct cells can never overflow the encode."""
+    flat = rng.choice(nx * ny, size=n, replace=False)
+    return flat % nx, flat // nx
+
+
 def _scene(rng, n, near_center=True):
     """Canonical records [cx,cy,a,b,cos2θ,sin2θ,noobj=0,rings] with
     centers near cell centers (so a flip never crosses a cell
     boundary — the active region [40,470]x[40,350] is not symmetric
-    under W-cx/H-cy, which shifts in-cell offsets by 2 px)."""
-    cxs = GRID.cx_min + GRID.xbinsize * (
-        rng.integers(0, GRID.nx, n) + 0.5)
-    cys = GRID.cy_min + GRID.ybinsize * (
-        rng.integers(0, GRID.ny, n) + 0.5)
+    under W-cx/H-cy, which shifts in-cell offsets by 2 px).  Cells are
+    drawn WITHOUT replacement so no cell can exceed its 2 slots."""
+    kx, ky = _distinct_cells(rng, n, GRID.nx, GRID.ny)
+    cxs = GRID.cx_min + GRID.xbinsize * (kx + 0.5)
+    cys = GRID.cy_min + GRID.ybinsize * (ky + 0.5)
     theta = rng.uniform(0, np.pi, n)
     a = rng.uniform(20, 60, n)
     b = a * rng.uniform(0.4, 0.95, n)
@@ -66,7 +78,7 @@ def _scene(rng, n, near_center=True):
 
 @pytest.mark.parametrize("mode", TTA_MODES)
 def test_flipback_reconstructs_direct_encode(mode):
-    rng = np.random.default_rng(hash(mode) % 2**32)
+    rng = np.random.default_rng(MODE_SEED[mode])
     scenes = [_scene(rng, rng.integers(1, 6)) for _ in range(8)]
     direct = batch_ellipses_to_grid(scenes, GRID)
     flipped = batch_ellipses_to_grid(
@@ -100,15 +112,15 @@ def test_flipback_boundary_cells(mode):
     still reproduce every direct detection in its direct slot (this is
     the exact failure that produced FP 2.6 % -> 7.4 % on a real
     checkpoint before the round-4 merge rewrite)."""
-    rng = np.random.default_rng(hash(mode) % 2**31)
+    rng = np.random.default_rng(2000 + MODE_SEED[mode])
     scenes = []
     for _ in range(12):
         n = int(rng.integers(1, 4))
-        # centers 1-5 px past a cell boundary — inside the asymmetry band
-        ks = rng.integers(1, GRID.nx, n)
-        cxs = GRID.cx_min + GRID.xbinsize * ks + rng.uniform(1, 5, n)
-        kys = rng.integers(1, GRID.ny, n)
-        cys = GRID.cy_min + GRID.ybinsize * kys + rng.uniform(1, 5, n)
+        # centers 1-5 px past an INTERIOR cell boundary — inside the
+        # asymmetry band.  Distinct cells: the encode has 2 slots/cell.
+        ks, kys = _distinct_cells(rng, n, GRID.nx - 1, GRID.ny - 1)
+        cxs = GRID.cx_min + GRID.xbinsize * (ks + 1) + rng.uniform(1, 5, n)
+        cys = GRID.cy_min + GRID.ybinsize * (kys + 1) + rng.uniform(1, 5, n)
         theta = rng.uniform(0, np.pi, n)
         recs = np.stack(
             [cxs, cys, rng.uniform(30, 60, n), rng.uniform(15, 28, n),

@@ -79,15 +79,25 @@ def main():
               f"{t['fps']:.0f} |")
 
     print("\n### Dataset-D-shaped small-data (offline 42x vs on-the-fly)")
-    d = last_json("/tmp/r4_datasetd.log", "DATASET_D_RESULT")
-    if d is None:
+    # single-arm reruns (--arm onthefly) carry "offline": null — print
+    # only the arms actually present, across every log that may hold one
+    rows = []
+    for path in ("/tmp/r4_datasetd.log", "/tmp/r4_datasetd3.log",
+                 "/tmp/r5_datasetd.log"):
+        d = last_json(path, "DATASET_D_RESULT")
+        if d is None:
+            continue
+        for tag, key in (("offline 42x", "offline"),
+                         ("on-the-fly geo", "onthefly")):
+            if d.get(key):
+                rows.append((f"{tag} ({os.path.basename(path)})", d[key]))
+    if not rows:
         print("*pending*")
     else:
         print("| path | ring-acc | class-acc | mAP | pix err | "
               "train wall (s) | inflate wall (s) |")
         print("|---|---|---|---|---|---|---|")
-        for tag, r in (("offline 42x", d["offline"]),
-                       ("on-the-fly geo", d["onthefly"])):
+        for tag, r in rows:
             print(f"| {tag} | {r['ring_acc']:.2f} | {r['class_acc']:.2f} "
                   f"| {r.get('mAP', 0):.4f} | {r['pix_err']:.2f} | "
                   f"{r['train_wall_s']:.0f} | "

@@ -75,10 +75,17 @@ def main():
     arm, rep_pin = "both", None
     if "--arm" in argv:
         i = argv.index("--arm")
+        if i + 1 >= len(argv):
+            raise SystemExit("--arm needs a value: both|offline|onthefly")
         arm = argv[i + 1]
+        if arm not in ("both", "offline", "onthefly"):
+            raise SystemExit(f"unknown --arm {arm!r}: "
+                             "both|offline|onthefly")
         del argv[i:i + 2]
     if "--rep" in argv:
         i = argv.index("--rep")
+        if i + 1 >= len(argv):
+            raise SystemExit("--rep needs an integer value")
         rep_pin = int(argv[i + 1])
         del argv[i:i + 2]
     n_train = int(argv[0]) if len(argv) > 0 else 1280

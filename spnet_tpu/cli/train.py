@@ -81,21 +81,36 @@ def main(argv=None):
     print("Command line ~= \n", " ".join(sys.argv))
     print("args = ", args)
 
+    # multi-host entry: initialize the distributed runtime when this
+    # process is part of a multi-host job (SPNET_COORDINATOR /
+    # JAX_COORDINATOR_ADDRESS / SPNET_DIST=1; no-op otherwise), then
+    # load only this host's disjoint file shard — the loop assembles
+    # the global device-resident arrays from the per-host shards
+    # (parallel/multihost.py).
+    from spnet_tpu.parallel.multihost import maybe_initialize, process_shard
+
+    maybe_initialize()
+    shard_i, shard_n = process_shard()
+
     cfg = config_from_args(args, args.grid)
     log_dir = timestamped_log_dir(args.name)
     print("Logging to", log_dir)
+    if shard_n > 1:
+        print(f"multi-host: process {shard_i}/{shard_n}, "
+              f"file shard {shard_i} of {shard_n}")
 
     ovf = "drop" if args.drop_overflow else "raise"
     train_ds = build_dataset(
         os.path.join(args.datapath, "Train"), cfg.grid,
         load_frac=args.fraction, batch_size=args.batch_size,
         input_size=cfg.model.input_size or None, seed=args.random_seed,
-        on_overflow=ovf,
+        on_overflow=ovf, shard_index=shard_i, num_shards=shard_n,
     )
     val_ds = build_dataset(
         os.path.join(args.datapath, "Val"), cfg.grid,
         batch_size=args.batch_size, shuffle=False,
         input_size=cfg.model.input_size or None, on_overflow=ovf,
+        shard_index=shard_i, num_shards=shard_n,
     )
 
     if args.profile:

@@ -38,6 +38,21 @@ from spnet_tpu.train.state import create_train_state, unfreeze
 from spnet_tpu.train.steps import make_predict_step, make_train_step
 
 
+def _to_host(o) -> np.ndarray:
+    """Device output -> host numpy.  Multi-process runs return arrays
+    that are not fully addressable (each process holds only its own
+    devices' rows of the batch-sharded output): all-gather the full
+    global value onto every host — predict_in_batches then returns the
+    SAME global predictions everywhere, and each host slices out the
+    rows of the local shard it fed (see train_network's val sweep)."""
+    o = jax.block_until_ready(o)
+    if getattr(o, "is_fully_addressable", True):
+        return np.asarray(o)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(o, tiled=True))
+
+
 def predict_in_batches(predict_fn, params, batch_stats, x, batch_size,
                        mesh=None, verbose=True, warmup=True):
     """Batched inference with FPS timing (the reference times every
@@ -54,7 +69,7 @@ def predict_in_batches(predict_fn, params, batch_stats, x, batch_size,
                        jnp.asarray(x[:1]).dtype)
         if mesh is not None and batch_size % mesh.size == 0:
             wb = shard_batch(mesh, wb)
-        np.asarray(predict_fn(params, batch_stats, wb))  # compile+run
+        jax.block_until_ready(predict_fn(params, batch_stats, wb))  # compile+run
     start = time.time()
     # dispatch ALL batches first (jax dispatch is async, so batch k+1's
     # compute overlaps batch k's device->host transfer), then retrieve
@@ -70,7 +85,7 @@ def predict_in_batches(predict_fn, params, batch_stats, x, batch_size,
             xb = shard_batch(mesh, xb)
         outs_dev.append(predict_fn(params, batch_stats, xb))
         trims.append(trim)
-    y = np.concatenate([np.asarray(o)[:t]
+    y = np.concatenate([_to_host(o)[:t]
                         for o, t in zip(outs_dev, trims)])
     elapsed = time.time() - start
     if verbose:
@@ -96,7 +111,14 @@ def train_network(
     rng = jax.random.key(tc.seed)
 
     model = build_model(mc, num_outputs=grid.num_outputs)
-    n_train = train_ds.x.shape[0]
+    # Multi-host: each process holds only its own file shard
+    # (build_dataset shard_index/num_shards = parallel.multihost.
+    # process_shard()); the GLOBAL dataset is the union, assembled on
+    # device by host_to_global below.  All epoch bookkeeping (steps,
+    # schedule, permutations) runs on global counts — identical on every
+    # process because the permutation RNG is seeded.
+    n_proc = jax.process_count()
+    n_train = train_ds.x.shape[0] * n_proc
     repeats = max(int(getattr(tc, "epoch_repeats", 1)), 1)
     steps_per_epoch = (n_train // tc.batch_size) * repeats
     total_steps = steps_per_epoch * tc.epochs
@@ -135,7 +157,17 @@ def train_network(
         mesh = make_mesh()
         state = replicate_state(mesh, state)
         if verbose:
-            print(f"    data-parallel over {mesh.size} devices")
+            print(f"    data-parallel over {mesh.size} devices"
+                  + (f" / {n_proc} hosts" if n_proc > 1 else ""))
+    if n_proc > 1:
+        if mesh is None:
+            raise ValueError(
+                "multi-process training requires the data-parallel mesh "
+                "(batch_size divisible by the global device count)")
+        # resident global dataset is the only multi-host feed path:
+        # chunk streaming / host feeding would need per-process chunk
+        # coordination that nothing here requires yet
+        device_data = True
 
     # device-resident dataset: keep the whole training set in HBM
     # (sharded over the mesh's data axis when one is active) and build
@@ -149,10 +181,23 @@ def train_network(
     # a 40960-frame 384² epoch reshape hits on 16 GB HBM), fall back to
     # in-scan minibatch gathers from the single resident copy.  Budgets
     # are conservative (val counted unsharded).
+    # NB: with epoch_repeats the permuted epoch copy holds `repeats`
+    # passes — its size is repeats * dataset, not 1x (the round-5
+    # matched-cadence dataset-D run found this the hard way: a 0.14 GB
+    # dataset at repeats=42 pregathers a ~5.9 GB epoch copy, which
+    # kernel-faulted the worker TWICE — while the round-3 b16 runs'
+    # 4.5 GB copies always lived).  The in-program copy wall is
+    # therefore pinned empirically between 4.5 and 5.9 GB per device;
+    # stay at the proven size.  SPNET_PREGATHER=0/1 overrides both
+    # tests.
+    copy_bytes = repeats * train_ds.x.nbytes / n_dev
     pregather = (
-        2 * train_ds.x.nbytes / n_dev + val_ds.x.nbytes
+        copy_bytes <= 4.6 * 1024**3
+        and copy_bytes + train_ds.x.nbytes / n_dev + val_ds.x.nbytes
         < 10 * 1024**3
     )
+    if os.environ.get("SPNET_PREGATHER") in ("0", "1"):
+        pregather = os.environ["SPNET_PREGATHER"] == "1"
     if device_data is None:
         # budget against v5e-class HBM (16 GB): resident dataset
         # (+ permuted epoch copy when pregathering) + val, leaving
@@ -238,9 +283,16 @@ def train_network(
         # puts are already split per-device by the sharding.  The raw
         # numpy arrays are passed straight through — a jnp.asarray here
         # would itself perform the monolithic transfer.
-        put = (lambda a: chunked_device_put(
-            a, sharding=batch_sharding(mesh) if mesh is not None
-            else None))
+        if n_proc > 1:
+            from spnet_tpu.parallel.multihost import host_to_global
+
+            # each process contributes its LOCAL shard; the global
+            # batch-sharded array is what every jitted program sees
+            put = lambda a: host_to_global(mesh, np.asarray(a))
+        else:
+            put = (lambda a: chunked_device_put(
+                a, sharding=batch_sharding(mesh) if mesh is not None
+                else None))
         x_all = put(train_ds.x)
         y_all = put(train_ds.y)
         if geo:
@@ -251,7 +303,8 @@ def train_network(
         # the per-epoch sweep)
         x_val_dev = (
             put(val_ds.x)
-            if mesh is None or val_ds.x.shape[0] % mesh.size == 0
+            if n_proc > 1 or mesh is None
+            or val_ds.x.shape[0] % mesh.size == 0
             else chunked_device_put(val_ds.x)
         )
         if verbose:
@@ -404,6 +457,15 @@ def train_network(
             predict_fn, state.params, state.batch_stats, x_val_dev,
             infer_bs, mesh=mesh, verbose=verbose > 1,
         )
+        if n_proc > 1:
+            # predictions are global (all-gathered); metrics below
+            # compare against this host's LOCAL val labels, so slice
+            # the rows this host contributed: host_to_global lays
+            # process p's shard at global rows [p*nl, (p+1)*nl)
+            # (jax.devices() device order is process-major)
+            nl = val_ds.x.shape[0]
+            y_pred = y_pred[jax.process_index() * nl
+                            : (jax.process_index() + 1) * nl]
         # component losses over the FULL val set (reference
         # callbacks.py:144-151), from the already-collected predictions
         comps = comps_fn(jnp.asarray(val_ds.y), jnp.asarray(y_pred))
@@ -480,8 +542,12 @@ def train_network(
 
         if ckpt_dir and ((epoch + 1) % tc.save_every == 0
                          or epoch == tc.epochs - 1):
-            save_checkpoint(ckpt_dir, state, cfg)
-            if verbose:
-                print(f"    checkpoint saved to {ckpt_dir}")
+            # multi-host: the state is fully replicated, so process 0
+            # alone writes (concurrent writers on a shared filesystem
+            # would race on the same checkpoint path)
+            if jax.process_index() == 0:
+                save_checkpoint(ckpt_dir, state, cfg)
+                if verbose:
+                    print(f"    checkpoint saved to {ckpt_dir}")
 
     return state, model, history

@@ -190,7 +190,12 @@ def train_network(
     # therefore pinned empirically between 4.5 and 5.9 GB per device;
     # stay at the proven size.  SPNET_PREGATHER=0/1 overrides both
     # tests.
-    copy_bytes = repeats * train_ds.x.nbytes / n_dev
+    item_b = train_ds.x.nbytes / max(train_ds.x.shape[0], 1)
+    steps_prog = steps_per_epoch  # scan steps per device program
+    max_scan = int(os.environ.get("SPNET_MAX_SCAN_STEPS", "0"))
+    if 0 < max_scan < steps_prog:  # epoch split into chained programs
+        steps_prog = -(-steps_prog // -(-steps_per_epoch // max_scan))
+    copy_bytes = steps_prog * tc.batch_size * item_b / n_dev
     pregather = (
         copy_bytes <= 4.6 * 1024**3
         and copy_bytes + train_ds.x.nbytes / n_dev + val_ds.x.nbytes
@@ -373,17 +378,36 @@ def train_network(
                 )) for r in range(repeats)
             ]).astype(np.int32)
             nb = idx_mat.shape[0]
-            if geo:
-                state, losses = train_step(
-                    state, x_all, y_all, rows_all, mask_all,
-                    jnp.asarray(idx_mat), jax.random.fold_in(rng, epoch),
-                )
-            else:
-                state, losses = train_step(
-                    state, x_all, y_all, jnp.asarray(idx_mat),
-                    jax.random.fold_in(rng, epoch),
-                )
-            ep_loss = float(jnp.mean(losses))
+            # SPNET_MAX_SCAN_STEPS=k: issue the epoch as ceil(nb/k)
+            # chained programs of <= k scan steps each.  Bit-equivalent
+            # to the monolithic program (the traced step_offset keeps
+            # the per-step rng folds global — pinned in
+            # tests/test_train_steps.py); the workaround for this
+            # environment's long-program worker crashes (a 3,360-step
+            # geo program kernel-faults where 80-step programs always
+            # lived; probe_bigprog pins the native-res crash to scan
+            # length too).  Segments are equal-length whenever nb
+            # divides, so the program compiles once.
+            max_scan = int(os.environ.get("SPNET_MAX_SCAN_STEPS", "0"))
+            seg = nb if max_scan <= 0 else min(nb, max_scan)
+            n_seg = -(-nb // seg)
+            seg = -(-nb // n_seg)  # rebalance: 3360/1280 -> 3x1120
+            ep_rng = jax.random.fold_in(rng, epoch)
+            loss_parts = []
+            for s0 in range(0, nb, seg):
+                seg_idx = jnp.asarray(idx_mat[s0:s0 + seg])
+                off = jnp.int32(s0)
+                if geo:
+                    state, losses = train_step(
+                        state, x_all, y_all, rows_all, mask_all,
+                        seg_idx, ep_rng, off,
+                    )
+                else:
+                    state, losses = train_step(
+                        state, x_all, y_all, seg_idx, ep_rng, off,
+                    )
+                loss_parts.append(losses)
+            ep_loss = float(jnp.mean(jnp.concatenate(loss_parts)))
         else:
             loss_parts, nb = [], 0  # device scalars; sync once per epoch
 

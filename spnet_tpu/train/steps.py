@@ -269,7 +269,7 @@ def make_train_step(
     if indexed == "epoch":
 
         def _epoch_core(state, x_all, y_all, idx_mat, rng,
-                        rows_all=None, mask_all=None):
+                        rows_all=None, mask_all=None, step_offset=None):
             """One WHOLE epoch as a single device program: permute the
             device-resident dataset into (steps, batch, ...) epoch order
             ONCE, then lax.scan consumes contiguous slices — one host
@@ -288,6 +288,15 @@ def make_train_step(
             40960 frames: compile-time HBM OOM), while the single
             resident copy fits comfortably."""
             steps, bs = idx_mat.shape
+            # step_offset (traced int32): the global step index of this
+            # program's first scan step.  A whole epoch issued as k
+            # shorter chained programs (loop.py SPNET_MAX_SCAN_STEPS —
+            # the workaround for the relay's long-program worker
+            # crashes) folds the SAME per-step rng values as the
+            # monolithic program, so the split is bit-equivalent
+            # (pinned in tests/test_train_steps.py).
+            if step_offset is None:
+                step_offset = jnp.int32(0)
             batch_sharding = None
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -299,7 +308,8 @@ def make_train_step(
                 flat = idx_mat.reshape(-1)
                 x_ep = x_all[flat].reshape((steps, bs) + x_all.shape[1:])
                 y_ep = y_all[flat].reshape((steps, bs) + y_all.shape[1:])
-                scan_xs = {"x": x_ep, "y": y_ep, "i": jnp.arange(steps)}
+                scan_xs = {"x": x_ep, "y": y_ep,
+                           "i": jnp.arange(steps) + step_offset}
                 if geo_augment:
                     scan_xs["rows"] = rows_all[flat].reshape(
                         (steps, bs) + rows_all.shape[1:]
@@ -315,7 +325,8 @@ def make_train_step(
                         for k, v in scan_xs.items()
                     }
             else:
-                scan_xs = {"idx": idx_mat, "i": jnp.arange(steps)}
+                scan_xs = {"idx": idx_mat,
+                           "i": jnp.arange(steps) + step_offset}
 
             def _shard(b):
                 if batch_sharding is None or b is None:
@@ -365,14 +376,16 @@ def make_train_step(
         if geo_augment:
 
             def train_epoch_geo(state, x_all, y_all, rows_all, mask_all,
-                                idx_mat, rng):
+                                idx_mat, rng, step_offset=None):
                 return _epoch_core(state, x_all, y_all, idx_mat, rng,
-                                   rows_all, mask_all)
+                                   rows_all, mask_all, step_offset)
 
             return _jit_epoch(train_epoch_geo)
 
-        def train_epoch(state, x_all, y_all, idx_mat, rng):
-            return _epoch_core(state, x_all, y_all, idx_mat, rng)
+        def train_epoch(state, x_all, y_all, idx_mat, rng,
+                        step_offset=None):
+            return _epoch_core(state, x_all, y_all, idx_mat, rng,
+                               step_offset=step_offset)
 
         return _jit_epoch(train_epoch)
 

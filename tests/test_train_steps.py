@@ -290,3 +290,56 @@ def test_epoch_scan_unroll_matches_rolled(monkeypatch):
     for a, c in zip(jax.tree_util.tree_leaves(params_1),
                     jax.tree_util.tree_leaves(params_2)):
         np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-8)
+
+
+def test_epoch_scan_split_matches_monolithic():
+    """SPNET_MAX_SCAN_STEPS splits an epoch into chained shorter
+    programs (loop.py) — the traced step_offset keeps the per-step rng
+    folds global, so k programs of nb/k steps must reproduce the
+    monolithic nb-step program to f32 reassociation ULPs (the carry
+    crosses a program boundary, so schedules may differ; the rng
+    stream and the math are identical).
+    This is the workaround for the environment's long-program worker
+    crashes (probe_bigprog; the 3,360-step dataset-D geo program)."""
+    model = SPNet(num_outputs=576, backbone="MobileNetTiny",
+                  dtype=jnp.float32)
+    sched = onecycle_schedule(1e-3, total_steps=100)
+    g = GridSpec()
+    rng = np.random.default_rng(2)
+    n, b, steps = 8, 2, 6
+    x_all = jnp.asarray(
+        rng.integers(0, 256, (n, 64, 64, 1)).astype(np.uint8))
+    y_all = jnp.asarray(normalize(
+        np.tile(g.defaults.reshape(-1), (n, 1)), g).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (steps, b)).astype(np.int32))
+    step = make_train_step(model, LossWeights(), "same",
+                           l2_reg=1e-4, augment=True, indexed="epoch")
+
+    def fresh():
+        return create_train_state(
+            model, jax.random.key(0), jnp.zeros((b, 64, 64, 1)), sched)
+
+    ep_rng = jax.random.key(7)
+    state_m, losses_m = step(fresh(), x_all, y_all, idx, ep_rng)
+
+    state_s = fresh()
+    parts = []
+    for s0 in (0, 3):
+        state_s, part = step(state_s, x_all, y_all, idx[s0:s0 + 3],
+                             ep_rng, jnp.int32(s0))
+        parts.append(np.asarray(part))
+    # losses are the rng-equivalence check: a wrong step_offset would
+    # change the augmentation stream and move losses at the 1e-3 level;
+    # reassociation across the program boundary only moves them ULPs
+    np.testing.assert_allclose(np.concatenate(parts),
+                               np.asarray(losses_m), rtol=2e-5)
+    # params: Adam normalizes by sqrt(v)~0 at early steps, amplifying
+    # ULP-level gradient noise into %-level update drift (same f32 sign
+    # noise the round-4 keras differential documented) — assert the
+    # update MAGNITUDE agrees, not each entry
+    # (a wrong rng stream would move most entries by ~lr=1e-3; the
+    # observed chaotic drift tops out near 1e-4 on isolated entries)
+    for a, c in zip(jax.tree_util.tree_leaves(state_m.params),
+                    jax.tree_util.tree_leaves(state_s.params)):
+        a, c = np.asarray(a), np.asarray(c)
+        np.testing.assert_allclose(a, c, rtol=0.5, atol=3e-4)

@@ -15,10 +15,19 @@ pure vectorized map (vmap over pairs x rows) that XLA fuses onto the VPU.
 Boundary convention: the reference counts OpenCV's anti-aliased rim pixels
 as fully opaque (cv2.countNonZero over a LINE_AA fill), which dilates each
 mask by >1px and inflates the golden IoU (0.44227983107795693) relative to
-the true pixel IoU.  We use a half-pixel dilation (pad=0.5), which matches
-OpenCV's *non-anti-aliased* fill to ~2e-4 IoU; for the reference's golden
-ellipse pair we measure 0.438008 (delta 0.0043, documented + pinned in
-tests/test_metrics.py).
+the true pixel IoU.  The default mode uses a half-pixel dilation
+(pad=0.5), which matches OpenCV's *non-anti-aliased* fill to ~2e-4 IoU;
+for the reference's golden ellipse pair we measure 0.438008 (delta
+0.0043, documented + pinned in tests/test_metrics.py).
+
+AA mode (`pair_iou(..., aa=True)`): models the reference's
+count-AA-rim-as-opaque semantics as a 1.5 px boundary dilation —
+calibrated against cv2.ellipse(LINE_AA, shift=10) + countNonZero: the
+golden pair lands at 0.442308 (|delta| 3e-5 vs the reference golden,
+closing the round-4 eval-parity gap) and random typical pairs track
+cv2-AA within ~5e-3 (the constant-pad model is approximate: a true
++d offset of an ellipse is not an ellipse, and cv2's faintest AA rim
+pixels reach varying distances; pinned in tests/test_metrics.py).
 """
 
 from __future__ import annotations
@@ -30,18 +39,21 @@ from spnet_tpu.config import ORIG_IMG_HEIGHT, ORIG_IMG_WIDTH
 
 #: Half-pixel boundary dilation (see module docstring).
 BOUNDARY_PAD = 0.5
+#: Dilation reproducing the reference's AA-rim-as-opaque masks.
+BOUNDARY_PAD_AA = 1.5
 
 
-def _row_intervals(cx, cy, a, b, theta, h: int, w: int):
+def _row_intervals(cx, cy, a, b, theta, h: int, w: int,
+                   pad: float = BOUNDARY_PAD):
     """Integer-pixel coverage interval per row for one rotated ellipse.
 
     Returns (lo, hi): int32 arrays of shape (h,) such that row y covers
     integer x in [lo[y], hi[y]] (empty iff lo > hi).  The inside test is
     ((dx*c + dy*s)/a)^2 + ((-dx*s + dy*c)/b)^2 <= 1 at pixel centers,
-    with a/b pre-dilated by BOUNDARY_PAD and clamped to >= 0.
+    with a/b pre-dilated by `pad` and clamped to >= 0.
     """
-    a = jnp.maximum(a, 0.0) + BOUNDARY_PAD
-    b = jnp.maximum(b, 0.0) + BOUNDARY_PAD
+    a = jnp.maximum(a, 0.0) + pad
+    b = jnp.maximum(b, 0.0) + pad
     c = jnp.cos(theta)
     s = jnp.sin(theta)
     inv_a2 = 1.0 / (a * a)
@@ -81,7 +93,8 @@ def _params_to_geom(rec):
     return cx, cy, a, b, theta, present
 
 
-def _pair_iou_one(rec_p, rec_t, h: int, w: int):
+def _pair_iou_one(rec_p, rec_t, h: int, w: int,
+                  pad: float = BOUNDARY_PAD):
     """IoU of one (pred, true) record pair; reference semantics
     (`diagnostics.py:82-120`):
       * true absent (noobj > 0.99)        -> -1
@@ -94,8 +107,8 @@ def _pair_iou_one(rec_p, rec_t, h: int, w: int):
     cxp, cyp, ap, bp, thp, pres_p = _params_to_geom(rec_p)
     cxt, cyt, at, bt, tht, pres_t = _params_to_geom(rec_t)
 
-    lo_p, hi_p = _row_intervals(cxp, cyp, ap, bp, thp, h, w)
-    lo_t, hi_t = _row_intervals(cxt, cyt, at, bt, tht, h, w)
+    lo_p, hi_p = _row_intervals(cxp, cyp, ap, bp, thp, h, w, pad)
+    lo_t, hi_t = _row_intervals(cxt, cyt, at, bt, tht, h, w, pad)
     # absent -> empty interval
     lo_p = jnp.where(pres_p, lo_p, 1)
     hi_p = jnp.where(pres_p, hi_p, 0)
@@ -121,20 +134,24 @@ def pair_iou(
     recs_t,
     h: int = ORIG_IMG_HEIGHT,
     w: int = ORIG_IMG_WIDTH,
+    aa: bool = False,
 ):
     """Batched pairwise ellipse IoU.
 
     recs_p, recs_t: (K, 8) denormalized records
     [cx, cy, a, b, cos2t, sin2t, noobj, rings].
+    aa=True reproduces the reference's AA-rim-as-opaque masks (module
+    docstring; golden-pair parity |delta| 3e-5).
     Returns (K,) float32 IoUs (with the -1 sentinel semantics above).
     """
     recs_p = jnp.asarray(recs_p, dtype=jnp.float32)
     recs_t = jnp.asarray(recs_t, dtype=jnp.float32)
-    fn = jax.vmap(lambda p, t: _pair_iou_one(p, t, h, w))
+    pad = BOUNDARY_PAD_AA if aa else BOUNDARY_PAD
+    fn = jax.vmap(lambda p, t: _pair_iou_one(p, t, h, w, pad))
     return fn(recs_p, recs_t)
 
 
-pair_iou_jit = jax.jit(pair_iou, static_argnames=("h", "w"))
+pair_iou_jit = jax.jit(pair_iou, static_argnames=("h", "w", "aa"))
 
 
 def ellipse_mask(

@@ -168,3 +168,45 @@ def test_precision_and_map_perfect_predictions():
     p3 = Yp.reshape(n, -1, 8)
     p3[0, 0, IND_NOOBJ] = 1.0
     assert calc_map(Yp, Yt, grid=g) == pytest.approx((n - 1) / n)
+
+
+def test_golden_iou_aa_mode():
+    """aa=True reproduces the reference's count-AA-rim-as-opaque masks:
+    the golden pair must land within 1e-3 of the reference's pinned
+    0.44227983107795693 (round-4 VERDICT's last eval-parity gap)."""
+    r_t = rec(100, 140, 120, 60, 90, 0, 10.3)
+    r_p = rec(120, 123, 120, 60, 149.97, 0, 7.8)
+    iou = float(pair_iou(r_p[None], r_t[None], aa=True)[0])
+    assert abs(iou - REFERENCE_GOLDEN_IOU) < 1e-3, iou
+
+
+def test_iou_aa_vs_opencv_linea():
+    """AA mode cross-checked against cv2.ellipse(LINE_AA)+countNonZero
+    (the reference's exact mask semantics, diagnostics.py:64-121) on
+    random typical pairs."""
+    cv2 = pytest.importorskip("cv2")
+
+    def draw(r):
+        img = np.zeros((384, 512), np.uint8)
+        ang = np.rad2deg(np.arctan2(r[5], r[4]) / 2)
+        shift = 10
+        cv2.ellipse(
+            img,
+            (int(round(r[0] * 2**shift)), int(round(r[1] * 2**shift))),
+            (int(round(r[2] * 2**shift)), int(round(r[3] * 2**shift))),
+            -ang, 0, 360, 255, -1, cv2.LINE_AA, shift,
+        )
+        return img > 0
+
+    rng = np.random.default_rng(13)
+    for _ in range(8):
+        r1 = rec(rng.uniform(100, 400), rng.uniform(100, 280),
+                 rng.uniform(40, 120), rng.uniform(20, 60),
+                 rng.uniform(1, 179), 0, 1)
+        r2 = rec(r1[0] + rng.uniform(-30, 30), r1[1] + rng.uniform(-30, 30),
+                 rng.uniform(40, 120), rng.uniform(20, 60),
+                 rng.uniform(1, 179), 0, 1)
+        m1, m2 = draw(r1), draw(r2)
+        ref = np.logical_and(m1, m2).sum() / np.logical_or(m1, m2).sum()
+        ours = float(pair_iou(r1[None], r2[None], aa=True)[0])
+        assert ours == pytest.approx(ref, abs=8e-3)

@@ -11,6 +11,7 @@ Commands mirror the reference's top-level scripts (SURVEY.md §2 L6):
   parse-zooniverse crowd CSV -> per-image CSVs     (parse_zooniverse_csv.py)
   gen-bboxes       ellipse -> bbox CSV export      (gen_bboxes_csv.py)
   ellipse-editor   Tk annotation editor            (ellipse_editor.py)
+  export           checkpoint -> StableHLO serving artifact (—)
   bench            single-chip benchmark           (—)
 """
 
@@ -28,6 +29,7 @@ _COMMANDS = {
     "parse-zooniverse": "spnet_tpu.cli.parse_zooniverse",
     "gen-bboxes": "spnet_tpu.cli.gen_bboxes",
     "ellipse-editor": "spnet_tpu.cli.ellipse_editor",
+    "export": "spnet_tpu.cli.export",
 }
 
 

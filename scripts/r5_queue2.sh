@@ -1,17 +1,15 @@
 #!/bin/bash
-# Round-5 TPU queue, part 2 — takes over from queue1 after its refgen
-# TTA step (a watcher touches /tmp/stop_queue_r5 so queue1 skips its
-# 30,720-frame native step in favor of the FULL-scale one here):
-#   1. dataset-D matched-cadence rerun with the scan-split fix
-#      (3,360-step geo program -> 3 x 1,120; the monolithic program
-#      kernel-faulted twice).
-#   2. FULL-scale native-resolution run: 40,960 frames (8.05 GB
-#      resident, chunked put), 150 ep mixed, epoch issued as 5 x 512-
-#      step programs — exactly the probe_bigprog-validated shape
-#      (BIGPROG_OK 8.15 512; 2,560 monolithic crashes).  + flip-TTA.
-#   3. keras real-.h5 import + finetune proof (VERDICT #7).
-#   4. movie .bmp predict end-to-end (VERDICT #6).
-#   5. MFU sweep (VERDICT #5) + bench confirm.
+# Round-5 TPU queue, part 2 (reordered): short proof steps first, then
+# the long full-scale native run with resume-aware retries.
+#   1. dataset-D matched-cadence rerun, scan-split (3 x 1,120).
+#   2. keras real-.h5 import + 5-ep finetune (VERDICT #7).
+#   3. movie .bmp predict e2e on the refgen checkpoint (VERDICT #6).
+#   4. MFU sweep (VERDICT #5).
+#   5. FULL-scale native-res run: 40,960 frames / 8.05 GB resident,
+#      150 ep mixed, epoch = 5 x 512-step programs (the probe-validated
+#      shape).  save_every=10 + auto-resume: retries resume from the
+#      checkpoint, so attempt 2+ gates on a small margin.
+#   6. flip-TTA on the native ckpt; bench confirm.
 # Touch /tmp/stop_queue_r5b to stop between steps.
 cd /root/repo
 DEADLINE_EPOCH=$(date -d 'today 19:30' +%s)
@@ -81,41 +79,53 @@ if step "dataset-D onthefly rep42 (3x1120-step programs)" 55; then
   grep -o 'DATASET_D_RESULT.*' /tmp/r5_datasetd.log | tail -1 | head -c 600
 fi
 
-# ---- 2. FULL-scale native-res run: 8.05 GB, 5x512-step programs ----
-# ~25-65 min on-TPU datagen (cached thereafter) + ~2.6 h train + eval.
-if step "native-res FULL 40960 (8.05 GB, split 5x512) 150ep mixed" 230; then
-  run_training DATASET_A_RESULT /tmp/r5_nativefull.log 2 225 \
-    env SPNET_BACKBONE_DTYPE=bfloat16 SPNET_MAX_SCAN_STEPS=512 \
-      SPNET_CKPT=logs/r5_native_ck SPNET_LOGDIR=logs/r5_native \
-      python -u scripts/dataset_a_run.py 150 16 4e-5 40960 float32 0
-  grep -o 'DATASET_A_RESULT.*' /tmp/r5_nativefull.log | tail -1 | head -c 500
-fi
-if [ -d logs/r5_native_ck ] && step "TTA eval of native-res ckpt" 20; then
-  run_training EVAL_TTA_RESULT /tmp/r5_tta_native.log 2 15 \
-    python -u scripts/eval_tta.py logs/r5_native_ck synth
-  grep -o 'EVAL_TTA_RESULT.*' /tmp/r5_tta_native.log | tail -1 | head -c 500
-fi
-
-# ---- 3. keras real-.h5 import + finetune proof (~20 min) ----
-if [ -f scripts/keras_h5_finetune.py ] && step "keras .h5 import + 5ep finetune" 30; then
+# ---- 2. keras real-.h5 import + finetune proof (~20 min) ----
+if step "keras .h5 import + 5ep finetune" 30; then
   run_training KERAS_H5_RESULT /tmp/r5_kerash5.log 2 25 \
     python -u scripts/keras_h5_finetune.py
   grep -o 'KERAS_H5_RESULT.*' /tmp/r5_kerash5.log | tail -1 | head -c 400
 fi
 
-# ---- 4. movie .bmp predict end-to-end (~15 min) ----
-if [ -f scripts/movie_predict.py ] && step "movie .bmp predict e2e" 25; then
+# ---- 3. movie .bmp predict end-to-end (~15 min) ----
+if step "movie .bmp predict e2e" 25; then
   run_training MOVIE_RESULT /tmp/r5_movie.log 2 20 \
     python -u scripts/movie_predict.py
   grep -o 'MOVIE_RESULT.*' /tmp/r5_movie.log | tail -1 | head -c 400
 fi
 
-# ---- 5. MFU sweep + bench confirm (~40 min) ----
-if [ -f scripts/r5_mfu_sweep.py ] && step "MFU sweep" 45; then
-  run_training MFU_SWEEP_DONE /tmp/r5_mfu.log 2 40 \
+# ---- 4. MFU sweep (~40 min) ----
+if step "MFU sweep" 45; then
+  run_training MFU_SWEEP_DONE /tmp/r5_mfu.log 1 40 \
     python -u scripts/r5_mfu_sweep.py
-  grep -E "MFU_|img/s" /tmp/r5_mfu.log | tail -12
+  grep -E "MFU_VARIANT|MFU_SWEEP_RESULT" /tmp/r5_mfu.log | tail -8
 fi
+
+# ---- 5. FULL-scale native-res run (8.05 GB, 5x512-step programs) ----
+# attempt 1 gates on the full ~210 min; later attempts RESUME from
+# logs/r5_native_ck (save_every=10) so they gate on 75 min only.
+NATIVE_CMD=(env SPNET_BACKBONE_DTYPE=bfloat16 SPNET_MAX_SCAN_STEPS=512
+  SPNET_CKPT=logs/r5_native_ck SPNET_LOGDIR=logs/r5_native
+  python -u scripts/dataset_a_run.py 150 16 4e-5 40960 float32 0)
+if step "native-res FULL 40960 (8.05 GB, split 5x512) 150ep mixed" 210; then
+  for attempt in 1 2 3 4; do
+    need=210; [ "$attempt" -gt 1 ] && need=75
+    fits $need || { echo "  no margin for native attempt $attempt"; break; }
+    "${NATIVE_CMD[@]}" >> /tmp/r5_nativefull.log 2>&1
+    grep -q DATASET_A_RESULT /tmp/r5_nativefull.log && break
+    echo "  native attempt $attempt died ($(date +%H:%M:%S)); will resume"
+    sleep 90
+    wait_for_relay
+  done
+  grep -o 'DATASET_A_RESULT.*' /tmp/r5_nativefull.log | tail -1 | head -c 500
+fi
+if grep -q DATASET_A_RESULT /tmp/r5_nativefull.log 2>/dev/null \
+    && step "TTA eval of native-res ckpt" 20; then
+  run_training EVAL_TTA_RESULT /tmp/r5_tta_native.log 2 15 \
+    python -u scripts/eval_tta.py logs/r5_native_ck synth
+  grep -o 'EVAL_TTA_RESULT.*' /tmp/r5_tta_native.log | tail -1 | head -c 500
+fi
+
+# ---- 6. bench confirm ----
 if step "bench.py confirm" 15; then
   run_training '"metric"' /tmp/r5_bench.log 2 12 python -u bench.py
   tail -1 /tmp/r5_bench.log

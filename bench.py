@@ -94,9 +94,12 @@ def main(batch_size: int = 128, steps_per_epoch: int = 160,
              if os.environ.get("SPNET_BENCH_CARRY", "0") == "1" else None)
     # SPNET_BENCH_PREGATHER=0: in-scan minibatch gathers from the
     # resident copy instead of the permuted epoch copy (A/B knob)
+    # SPNET_BENCH_AUGMENT=0: diagnostic — how much of the step the
+    # on-device augmentation costs (production keeps it on)
     epoch_step = make_train_step(
         model, LossWeights(), mc.loss_type, l2_reg=mc.l2_reg,
-        augment=True, indexed="epoch",
+        augment=os.environ.get("SPNET_BENCH_AUGMENT", "1") == "1",
+        indexed="epoch",
         carry_compute_params=carry,
         pregather=os.environ.get("SPNET_BENCH_PREGATHER", "1") == "1",
     )

@@ -32,6 +32,8 @@ VARIANTS = [
     ("u2_b192", {"SPNET_BENCH_BS": "192"}),
     ("u2_b128_nopregather", {"SPNET_BENCH_PREGATHER": "0"}),
     ("u4_b192", {"SPNET_SCAN_UNROLL": "4", "SPNET_BENCH_BS": "192"}),
+    # diagnostic: augmentation's share of the step (production keeps it)
+    ("u2_b128_noaugment", {"SPNET_BENCH_AUGMENT": "0"}),
 ]
 
 

@@ -7,6 +7,9 @@ semiminor-axis size, plus the detection confusion — the decomposition
 that separates 'ring regression is imprecise' from 'detection misses'.
 
 Usage: python scripts/eval_breakdown.py <ckpt_dir> [n_val] [seed]
+       python scripts/eval_breakdown.py <ckpt_dir> refgen
+(the 'refgen' form evaluates on the reference-generator val split,
+for decomposing the refgen-384 single-sweep residual)
 """
 
 import json
@@ -21,7 +24,9 @@ import numpy as np
 
 def main():
     ckpt = sys.argv[1]
-    n_val = int(sys.argv[2]) if len(sys.argv) > 2 else 4992
+    refgen = len(sys.argv) > 2 and sys.argv[2] == "refgen"
+    n_val = (int(sys.argv[2]) if len(sys.argv) > 2 and not refgen
+             else 4992)
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 777777
 
     from spnet_tpu.cli.common import load_model_and_state
@@ -37,8 +42,14 @@ def main():
     from spnet_tpu.train.steps import make_predict_step
 
     cfg, model, state = load_model_and_state(ckpt)
-    ds = synthetic_dataset(n_val, cfg.grid, seed=seed,
-                           input_size=cfg.model.input_size)
+    if refgen:
+        from scripts.refgen_run import load_refgen
+
+        _, ds = load_refgen(40960, n_val, cfg.grid,
+                            size=cfg.model.input_size or 331)
+    else:
+        ds = synthetic_dataset(n_val, cfg.grid, seed=seed,
+                               input_size=cfg.model.input_size)
     predict_fn = make_predict_step(model)
     y_pred, fps = predict_in_batches(
         predict_fn, state.params, state.batch_stats, ds.x, 256,

@@ -477,6 +477,9 @@ def train_network(
         infer_bs = mc.clamp_infer_batch(
             max(tc.batch_size, min(256, int(np.asarray(
                 x_val_dev.shape[0])))))
+        if os.environ.get("SPNET_INFER_BS"):
+            infer_bs = mc.clamp_infer_batch(
+                int(os.environ["SPNET_INFER_BS"]))
         y_pred, fps = predict_in_batches(
             predict_fn, state.params, state.batch_stats, x_val_dev,
             infer_bs, mesh=mesh, verbose=verbose > 1,

@@ -92,8 +92,12 @@ def main(batch_size: int = 128, steps_per_epoch: int = 160,
     # per-use-cast path is the production default.
     carry = (mc.compute_dtype
              if os.environ.get("SPNET_BENCH_CARRY", "0") == "1" else None)
-    # SPNET_BENCH_PREGATHER=0: in-scan minibatch gathers from the
-    # resident copy instead of the permuted epoch copy (A/B knob)
+    # SPNET_BENCH_PREGATHER=1: pre-permuted epoch copy instead of
+    # in-scan minibatch gathers (A/B knob).  Round-5 sweep on the idle
+    # chip (scripts/r5_mfu_sweep.py, docs/run_logs/r5_mfu.log): in-scan
+    # gathers 3043.6 vs pregather 2998.0 img/s — the per-step
+    # dynamic-slice gathers were never the wall, and the permuted epoch
+    # copy only adds an HBM round-trip, so gathers are the default.
     # SPNET_BENCH_AUGMENT=0: diagnostic — how much of the step the
     # on-device augmentation costs (production keeps it on)
     epoch_step = make_train_step(
@@ -101,7 +105,7 @@ def main(batch_size: int = 128, steps_per_epoch: int = 160,
         augment=os.environ.get("SPNET_BENCH_AUGMENT", "1") == "1",
         indexed="epoch",
         carry_compute_params=carry,
-        pregather=os.environ.get("SPNET_BENCH_PREGATHER", "1") == "1",
+        pregather=os.environ.get("SPNET_BENCH_PREGATHER", "0") == "1",
     )
 
     def idx_mat(seed, steps):

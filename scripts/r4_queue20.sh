@@ -49,9 +49,15 @@ wait_for_relay() {
 }
 
 echo "QUEUE20 waiting for the dataset-D arm ($(date +%H:%M:%S))"
+# gate on the PID first: /tmp/r4_datasetd3.log may be a stale file from
+# an earlier launch that already contains DATASET_D_RESULT, which would
+# release this gate while the fresh arm still holds the TPU.
 while true; do
-  grep -q "DATASET_D_RESULT\|Traceback" /tmp/r4_datasetd3.log 2>/dev/null && break
-  [ -f /tmp/datasetd3.pid ] && ! kill -0 "$(cat /tmp/datasetd3.pid)" 2>/dev/null && break
+  if [ -f /tmp/datasetd3.pid ]; then
+    kill -0 "$(cat /tmp/datasetd3.pid)" 2>/dev/null || break
+  else
+    grep -q "DATASET_D_RESULT\|Traceback" /tmp/r4_datasetd3.log 2>/dev/null && break
+  fi
   [ -f /tmp/stop_queue20 ] && echo "QUEUE20 STOPPED while waiting" && exit 0
   past_deadline && echo "QUEUE20 deadline passed while waiting" && exit 0
   sleep 60
@@ -81,6 +87,13 @@ if fits 155; then EPOCHS=150; elif fits 115; then EPOCHS=100; fi
 if [ ! -f /tmp/stop_queue20 ] && [ -n "$EPOCHS" ]; then
   echo "QUEUE20 STEP: refgen-384 mixed ${EPOCHS}ep ($(date +%H:%M:%S))"
   for attempt in 1 2; do
+    # re-check the margin before EVERY attempt (the run resumes from
+    # save_every=10 checkpoints, so a retry needs far less than a full
+    # run — but near the deadline even that can overrun the 06:45 gate
+    # and block the driver's morning bench); recompute EPOCHS downward
+    # if the 150-ep margin is gone.
+    if ! fits 115; then echo "  no margin for attempt $attempt"; break; fi
+    fits 155 || EPOCHS=100
     SPNET_BACKBONE_DTYPE=bfloat16 SPNET_CKPT=logs/refgen384_ck \
       SPNET_LOGDIR=logs/refgen384_mixed \
       python -u scripts/refgen_run.py $EPOCHS 16 4e-5 float32 384 \

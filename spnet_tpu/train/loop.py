@@ -175,32 +175,21 @@ def train_network(
     # traffic.  The epoch program holds a permuted copy of X, hence the
     # 2x term in the budget.
     n_dev = mesh.size if mesh is not None else 1
-    # The pre-gathered permuted epoch copy (2x term) is a throughput
-    # optimization, not a requirement: when 2x the train set would not
-    # leave headroom (or would trip the sublane-padded layout OOM that
-    # a 40960-frame 384² epoch reshape hits on 16 GB HBM), fall back to
-    # in-scan minibatch gathers from the single resident copy.  Budgets
-    # are conservative (val counted unsharded).
-    # NB: with epoch_repeats the permuted epoch copy holds `repeats`
-    # passes — its size is repeats * dataset, not 1x (the round-5
-    # matched-cadence dataset-D run found this the hard way: a 0.14 GB
-    # dataset at repeats=42 pregathers a ~5.9 GB epoch copy, which
-    # kernel-faulted the worker TWICE — while the round-3 b16 runs'
-    # 4.5 GB copies always lived).  The in-program copy wall is
-    # therefore pinned empirically between 4.5 and 5.9 GB per device;
-    # stay at the proven size.  SPNET_PREGATHER=0/1 overrides both
-    # tests.
-    item_b = train_ds.x.nbytes / max(train_ds.x.shape[0], 1)
-    steps_prog = steps_per_epoch  # scan steps per device program
-    max_scan = int(os.environ.get("SPNET_MAX_SCAN_STEPS", "0"))
-    if 0 < max_scan < steps_prog:  # epoch split into chained programs
-        steps_prog = -(-steps_prog // -(-steps_per_epoch // max_scan))
-    copy_bytes = steps_prog * tc.batch_size * item_b / n_dev
-    pregather = (
-        copy_bytes <= 4.6 * 1024**3
-        and copy_bytes + train_ds.x.nbytes / n_dev + val_ds.x.nbytes
-        < 10 * 1024**3
-    )
+    # In-scan minibatch gathers from the single resident copy are the
+    # default feed: the round-5 sweep measured them FASTER than the
+    # pre-gathered permuted epoch copy (3043.6 vs 2998.0 img/s,
+    # VALIDATION §1 / docs/run_logs/r5_mfu.log) at half the resident
+    # memory — the per-step dynamic-slice gathers were never the wall,
+    # and the permuted copy adds an HBM round-trip.  The pregather path
+    # stays available as a measured-negative A/B knob
+    # (SPNET_PREGATHER=1; bit-equivalence with the gather feed is
+    # pinned in tests/test_train_steps.py).  Memory history that bounds
+    # it if re-enabled: the in-program copy wall is pinned empirically
+    # between 4.5 and 5.9 GB per device (round-3 b16 runs' 4.5 GB
+    # copies always lived; the round-5 dataset-D repeats=42 5.9 GB copy
+    # kernel-faulted twice), and the rank-5 permuted-epoch reshape at
+    # 384²/40960 frames trips a sublane-padded-layout compile-time OOM.
+    pregather = False
     if os.environ.get("SPNET_PREGATHER") in ("0", "1"):
         pregather = os.environ["SPNET_PREGATHER"] == "1"
     if device_data is None:
@@ -245,6 +234,11 @@ def train_network(
                                        mc.loss_type)
     )
 
+    # val_mon: the val set used for the PER-EPOCH monitoring sweep.
+    # Normally the whole val set; the device-resident branch below may
+    # substitute a leading slice when HBM headroom demands it (the
+    # caller's final evaluation always sees the full val_ds).
+    val_mon = val_ds
     streamer = None
     if device_data == "chunked":
         from spnet_tpu.parallel.mesh import batch_sharding
@@ -303,18 +297,59 @@ def train_network(
         if geo:
             rows_all = put(train_ds.rows)
             mask_all = put(train_ds.row_mask)
+        # HBM headroom guard: the native-res (512×384 / 40960-frame)
+        # epoch program needs ~6.1 GiB of temporaries on top of the
+        # resident buffers with the in-scan-gather feed (measured from
+        # the round-5 OOM report: 16.02 GiB used = 8.41 GiB resident +
+        # 1.50 GiB pregather copy + temps, vs the 15.75 GiB v5e
+        # capacity; the same run with gathers and 9.03 GB resident
+        # compiles and trains).  When train+val residency would exceed
+        # ~9.6e9 B per device (capacity ≈ 10.35e9 minus margin), keep
+        # only a leading val slice resident for the per-epoch
+        # monitoring sweep; history metrics then monitor that slice,
+        # and the caller's final evaluation (host arrays) still scores
+        # the full val set.
+        if n_proc == 1:
+            n_dev_g = mesh.size if mesh is not None else 1
+            res_budget = float(os.environ.get(
+                "SPNET_RESIDENT_BUDGET", 9.6e9)) * n_dev_g
+            train_res = train_ds.x.nbytes + train_ds.y.nbytes
+            if geo:
+                train_res += (train_ds.rows.nbytes
+                              + train_ds.row_mask.nbytes)
+            if train_res + val_ds.x.nbytes > res_budget:
+                import dataclasses as _dc
+
+                item_v = val_ds.x.nbytes // max(val_ds.x.shape[0], 1)
+                k = int(max(res_budget - train_res, 0) // max(item_v, 1))
+                k = max(256, (k // 64) * 64)
+                if k < val_ds.x.shape[0]:
+                    val_mon = _dc.replace(
+                        val_ds, x=val_ds.x[:k], y=val_ds.y[:k],
+                        file_list=val_ds.file_list[:k],
+                        rows=(val_ds.rows[:k]
+                              if val_ds.rows is not None else None),
+                        row_mask=(val_ds.row_mask[:k]
+                                  if val_ds.row_mask is not None
+                                  else None))
+                    if verbose:
+                        print(f"    val monitoring slice: {k}/"
+                              f"{val_ds.x.shape[0]} frames resident "
+                              f"(HBM headroom guard; the final eval "
+                              f"still uses the full val set)",
+                              flush=True)
         # val set sharded over the mesh too (it previously landed whole
         # on device 0, capping val-set scale and idling the mesh during
         # the per-epoch sweep)
         x_val_dev = (
-            put(val_ds.x)
+            put(val_mon.x)
             if n_proc > 1 or mesh is None
-            or val_ds.x.shape[0] % mesh.size == 0
-            else chunked_device_put(val_ds.x)
+            or val_mon.x.shape[0] % mesh.size == 0
+            else chunked_device_put(val_mon.x)
         )
         if verbose:
             print(f"    device-resident dataset: "
-                  f"{(train_ds.x.nbytes + val_ds.x.nbytes) / 1e9:.2f} GB "
+                  f"{(train_ds.x.nbytes + val_mon.x.nbytes) / 1e9:.2f} GB "
                   f"in HBM"
                   + (f" (sharded over {mesh.size} devices)"
                      if mesh is not None else ""))
@@ -490,12 +525,12 @@ def train_network(
             # the rows this host contributed: host_to_global lays
             # process p's shard at global rows [p*nl, (p+1)*nl)
             # (jax.devices() device order is process-major)
-            nl = val_ds.x.shape[0]
+            nl = val_mon.x.shape[0]
             y_pred = y_pred[jax.process_index() * nl
                             : (jax.process_index() + 1) * nl]
-        # component losses over the FULL val set (reference
+        # component losses over the monitored val set (reference
         # callbacks.py:144-151), from the already-collected predictions
-        comps = comps_fn(jnp.asarray(val_ds.y), jnp.asarray(y_pred))
+        comps = comps_fn(jnp.asarray(val_mon.y), jnp.asarray(y_pred))
         comps_np = {k: float(v) for k, v in comps.items()}
 
         if mc.loss_type != "same":  # decode noobj logits
@@ -504,7 +539,7 @@ def train_network(
             y_pred[:, IND_NOOBJ::VARS_PER_PRED] = 1.0 / (
                 1.0 + np.exp(-y_pred[:, IND_NOOBJ::VARS_PER_PRED])
             )
-        yv = denormalize(val_ds.y, grid)
+        yv = denormalize(val_mon.y, grid)
         yp = denormalize(y_pred, grid)
         st = calc_errors(yp, yv)
         log.append(
@@ -542,7 +577,7 @@ def train_network(
             save_progress_plot(log_dir, log, yv, yp,
                                (grid.img_width, grid.img_height))
             if render_overlays:
-                show_pred_ellipses(yv, yp, val_ds.file_list,
+                show_pred_ellipses(yv, yp, val_mon.file_list,
                                    num_draw=40, log_dir=log_dir)
         except Exception as e:
             print(f"    (plot/render skipped: {e})")

@@ -1,13 +1,12 @@
 #!/bin/bash
 # Round-5 queue, part 5 (session 11): post-queue4 confirm + pickups.
-# Waits for queue4 (pid file) to exit, then:
-#   1. 2-variant confirm sweep (new pregather=0 bench default + u3
-#      stack) — validates the number the driver's end-of-round bench
-#      will reproduce.
-#   2. Pickup steps queue4 may have deadline-skipped, value order:
-#      movie .bmp predict (VERDICT #6, ~15 min), keras real-.h5
-#      finetune (VERDICT #7, ~20 min), dataset-D matched-cadence
-#      (VERDICT #4, ~50 min).  Each only if its marker is absent.
+# Waits for queue4 (pid file) to exit, then picks up the steps queue4
+# deadline-skipped, value order: movie .bmp predict (VERDICT #6,
+# ~15 min), keras real-.h5 finetune (VERDICT #7, ~20 min), dataset-D
+# matched-cadence (VERDICT #4, ~50 min) — each only if its marker is
+# absent — then, margin permitting, the 2-variant confirm sweep (the
+# driver's own end-of-round bench re-validates the new default anyway,
+# so the sweep's unique value is only the u3 stack).
 # Hard deadline-gated at 03:30 so the chip is free for the driver's
 # end-of-round bench.  Touch /tmp/stop_queue_r5e to stop between steps.
 cd /root/repo
@@ -68,14 +67,7 @@ step() {
   return 0
 }
 
-# ---- 1. confirm sweep (~20 min) ----
-if step "confirm sweep" 25; then
-  python -u scripts/r5_confirm_sweep.py > /tmp/r5_bench_confirm.log 2>&1
-  grep -E "CONFIRM_VARIANT|CONFIRM_SWEEP_RESULT" /tmp/r5_bench_confirm.log
-fi
-archive
-
-# ---- 2. movie pickup (only if queue4 skipped it) ----
+# ---- 1. movie pickup (only if queue4 skipped it) ----
 if ! grep -q MOVIE_RESULT /tmp/r5_movie.log 2>/dev/null \
     && step "movie .bmp predict pickup" 20; then
   python -u scripts/movie_predict.py >> /tmp/r5_movie.log 2>&1
@@ -83,7 +75,7 @@ if ! grep -q MOVIE_RESULT /tmp/r5_movie.log 2>/dev/null \
 fi
 archive
 
-# ---- 3. keras-h5 pickup ----
+# ---- 2. keras-h5 pickup ----
 if ! grep -q KERAS_H5_RESULT /tmp/r5_kerash5.log 2>/dev/null \
     && step "keras .h5 finetune pickup" 30; then
   python -u scripts/keras_h5_finetune.py >> /tmp/r5_kerash5.log 2>&1
@@ -91,13 +83,20 @@ if ! grep -q KERAS_H5_RESULT /tmp/r5_kerash5.log 2>/dev/null \
 fi
 archive
 
-# ---- 4. dataset-D pickup ----
+# ---- 3. dataset-D pickup ----
 if ! grep -q DATASET_D_RESULT /tmp/r5_datasetd.log 2>/dev/null \
     && step "dataset-D matched-cadence pickup" 55; then
   env SPNET_PREGATHER=0 SPNET_MAX_SCAN_STEPS=1120 \
     python -u scripts/dataset_d_run.py --arm onthefly --rep 42 \
     >> /tmp/r5_datasetd.log 2>&1
   grep -o 'DATASET_D_RESULT.*' /tmp/r5_datasetd.log | tail -1 | head -c 600
+fi
+archive
+
+# ---- 4. confirm sweep (~20 min, lowest priority) ----
+if step "confirm sweep" 25; then
+  python -u scripts/r5_confirm_sweep.py > /tmp/r5_bench_confirm.log 2>&1
+  grep -E "CONFIRM_VARIANT|CONFIRM_SWEEP_RESULT" /tmp/r5_bench_confirm.log
 fi
 archive
 

@@ -43,6 +43,8 @@ def main():
     show("movie .bmp predict", "/tmp/r5_movie.log", "MOVIE_RESULT")
     show("native-res FULL 40960", "/tmp/r5_nativefull.log",
          "DATASET_A_RESULT")
+    show("native-res FULL 40960 (session-12 relaunch, 90 ep)",
+         "/tmp/r5_nativefull2.log", "DATASET_A_RESULT")
     show("native-res flip-TTA", "/tmp/r5_tta_native.log",
          "EVAL_TTA_RESULT")
     show("MFU sweep", "/tmp/r5_mfu.log", "MFU_SWEEP_RESULT")

@@ -56,7 +56,7 @@ wait_for_relay
 
 archive() {
   mkdir -p docs/run_logs
-  for f in r5_nativefull2 r5_tta_native r5_datasetd r5_movie r5_kerash5; do
+  for f in r5_nativefull2 r5_tta_native r5_breakdown_native r5_datasetd r5_movie r5_kerash5; do
     [ -f /tmp/$f.log ] && grep -v "^WARNING" /tmp/$f.log | tail -800 \
       > docs/run_logs/${f}.log
   done
@@ -98,6 +98,19 @@ if grep -q DATASET_A_RESULT /tmp/r5_nativefull2.log 2>/dev/null \
     sleep 90; fits 20 || break; wait_for_relay
   done
   grep -o 'EVAL_TTA_RESULT.*' /tmp/r5_tta_native.log | tail -1 | head -c 500
+fi
+archive
+
+# ---- 1b. residual decomposition on the native ckpt ----
+# Proves (or refutes) the VALIDATION §2 attribution on hardware: the
+# sub-3-px ring-spacing bucket (84.9 % at 331²) should close at native
+# 512x384 where no downsample limits ring contrast.
+if grep -q DATASET_A_RESULT /tmp/r5_nativefull2.log 2>/dev/null \
+    && ! grep -q 'BREAKDOWN ' /tmp/r5_breakdown_native.log 2>/dev/null \
+    && step "eval_breakdown on native ckpt" 14; then
+  python -u scripts/eval_breakdown.py logs/r5_native_ck \
+    >> /tmp/r5_breakdown_native.log 2>&1
+  grep -o 'BREAKDOWN .*' /tmp/r5_breakdown_native.log | tail -1 | head -c 600
 fi
 archive
 

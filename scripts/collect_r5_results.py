@@ -47,6 +47,8 @@ def main():
          "/tmp/r5_nativefull2.log", "DATASET_A_RESULT")
     show("native-res flip-TTA", "/tmp/r5_tta_native.log",
          "EVAL_TTA_RESULT")
+    show("native-res residual breakdown", "/tmp/r5_breakdown_native.log",
+         "BREAKDOWN ")
     show("MFU sweep", "/tmp/r5_mfu.log", "MFU_SWEEP_RESULT")
 
     print("### bigprog quadrant")

@@ -52,6 +52,10 @@ def main():
     frames_dir = "logs/movie_frames"
     log_dir = "logs/movie_pred/"
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    # native-res (input_size=0) checkpoints predict at 512x384: b=512
+    # would put ~6 GB of first-conv activations in HBM, so allow the
+    # caller to size the batch to the checkpoint resolution
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 
     for ckpt in ("logs/refgen384_ck", "logs/r5_native_ck",
                  "logs/dataset_a_ckpt"):
@@ -72,7 +76,7 @@ def main():
     t1 = time.time()
     preds, files = predict_network(
         cfg, state, model, frames_dir, log_dir=log_dir,
-        batch_size=512, num_draw=8, verbose=1,
+        batch_size=batch, num_draw=8, verbose=1,
     )
     wall = time.time() - t1
 
